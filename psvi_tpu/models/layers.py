@@ -1,0 +1,615 @@
+"""Functional variational layers (TPU-native model zoo core).
+
+Re-designs the reference's stateful PyTorch variational modules
+(``psvi/models/neural_net.py:60-491`` — ``VIMixin``, ``VILinear``,
+``VIConv2d``, ``MultivariateNormalVIMixin``) as *pure functions over
+pytrees*:
+
+- a layer object is a frozen dataclass (static, hashable → jit-friendly);
+- ``init(key)`` returns the parameter pytree ``{'mu_w','rho_w','mu_b','rho_b'}``
+  (sd stored pre-softplus, as in the reference's ``_weight_sd``);
+- ``sample_eps(key, S)`` draws the standard-normal noise pytree with leading
+  MC-sample axis ``S``;
+- ``apply(params, eps, x)`` runs the reparameterized forward for all S samples
+  at once — θ = μ + softplus(ρ)·ε — the JAX analog of the reference's
+  in-layer S-batching (``neural_net.py:155-179``);
+- ``nkl(params, eps)`` computes the per-sample log p(θ)−log q(θ) from the
+  SAME ε used by the forward, replacing the reference's cached-sample trick
+  (``neural_net.py:110-115``: ``_cached_weight``) with explicit threading;
+- ``kl(params)`` is the analytic KL(q‖p) used by the inner ELBO
+  (``neural_net.py:101-108``).
+
+Reference-behavior note: the reference's objectives only sum KL/NKL over
+``VILinear``/``VILinearMultivariateNormal`` modules — ``VIConv2d`` layers are
+sampled but their KL terms are *excluded* (``psvi/inference/psvi_classes.py:
+479-483,506-510``). We reproduce this via the ``count_kl`` flag (True for
+dense layers, False for conv), overridable at construction.
+
+Shapes: activations always carry a leading MC-sample axis: x is
+``(S, N, ...)``; a bare ``(N, ...)`` input is broadcast to S by ``Sequential``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Any, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+Params = Any  # pytree of jnp arrays
+Eps = Any  # pytree of jnp arrays with leading S axis
+
+_HALF_LOG_2PI = 0.5 * math.log(2.0 * math.pi)
+
+
+def inverse_softplus(x):
+    """Stable inverse of softplus: y s.t. softplus(y) = x."""
+    x = jnp.asarray(x)
+    # log(expm1(x)) = x + log1p(-exp(-x)); stable for both small and large x.
+    return x + jnp.log(-jnp.expm1(-x))
+
+
+def _normal_logpdf(x, mu, sd):
+    return -0.5 * jnp.square((x - mu) / sd) - jnp.log(sd) - _HALF_LOG_2PI
+
+
+def _gaussian_kl(mu_q, sd_q, sd_p):
+    """KL( N(mu_q, sd_q) || N(0, sd_p) ), elementwise."""
+    return (
+        jnp.log(sd_p / sd_q)
+        + (jnp.square(sd_q) + jnp.square(mu_q)) / (2.0 * jnp.square(sd_p))
+        - 0.5
+    )
+
+
+def _uniform(key, shape, bound, dtype=jnp.float32):
+    return jax.random.uniform(key, shape, dtype, minval=-bound, maxval=bound)
+
+
+@dataclasses.dataclass(frozen=True)
+class Layer:
+    """Base: stateless pass-through layer."""
+
+    def init(self, key) -> Params:
+        return {}
+
+    def sample_eps(self, key, mc_samples: int) -> Eps:
+        return {}
+
+    def apply(self, params: Params, eps: Eps, x):
+        raise NotImplementedError
+
+    def kl(self, params: Params):
+        return jnp.float32(0.0)
+
+    def nkl(self, params: Params, eps: Eps):
+        return jnp.float32(0.0)
+
+    @property
+    def is_variational(self) -> bool:
+        return False
+
+
+@dataclasses.dataclass(frozen=True)
+class VILinear(Layer):
+    """Mean-field Gaussian variational dense layer.
+
+    Functional analog of the reference's ``VILinear`` (``psvi/models/
+    neural_net.py:176-179``): per-forward reparameterized weight/bias samples
+    batched over S, ``y = x @ W_sᵀ + b_s``.
+    """
+
+    in_dim: int
+    out_dim: int
+    init_sd: float = 0.01
+    prior_sd: float = 1.0
+    use_bias: bool = True
+    count_kl: bool = True  # dense layers' KL counts (ref psvi_classes.py:479-483)
+
+    def init(self, key) -> Params:
+        kw, kb = jax.random.split(key)
+        # torch nn.Linear.reset_parameters: kaiming_uniform(a=√5) ⇒ U(±1/√fan_in)
+        bound = 1.0 / math.sqrt(self.in_dim)
+        rho = jnp.asarray(
+            inverse_softplus(jnp.float32(self.init_sd)), dtype=jnp.float32
+        )
+        p = {
+            "mu_w": _uniform(kw, (self.out_dim, self.in_dim), bound),
+            "rho_w": jnp.full((self.out_dim, self.in_dim), rho),
+        }
+        if self.use_bias:
+            p["mu_b"] = _uniform(kb, (self.out_dim,), bound)
+            p["rho_b"] = jnp.full((self.out_dim,), rho)
+        return p
+
+    def sample_eps(self, key, mc_samples: int) -> Eps:
+        kw, kb = jax.random.split(key)
+        e = {"w": jax.random.normal(kw, (mc_samples, self.out_dim, self.in_dim))}
+        if self.use_bias:
+            e["b"] = jax.random.normal(kb, (mc_samples, self.out_dim))
+        return e
+
+    def _theta(self, params, eps):
+        w = params["mu_w"] + jax.nn.softplus(params["rho_w"]) * eps["w"]
+        b = None
+        if self.use_bias:
+            b = params["mu_b"] + jax.nn.softplus(params["rho_b"]) * eps["b"]
+        return w, b
+
+    def apply(self, params, eps, x):
+        # x: (S, N, in) ; w: (S, out, in) ; b: (S, out)
+        w, b = self._theta(params, eps)
+        y = jnp.einsum("sni,soi->sno", x, w)
+        if b is not None:
+            y = y + b[:, None, :]
+        return y
+
+    def kl(self, params):
+        sd_w = jax.nn.softplus(params["rho_w"])
+        total = jnp.sum(_gaussian_kl(params["mu_w"], sd_w, self.prior_sd))
+        if self.use_bias:
+            sd_b = jax.nn.softplus(params["rho_b"])
+            total += jnp.sum(_gaussian_kl(params["mu_b"], sd_b, self.prior_sd))
+        return total
+
+    def nkl(self, params, eps):
+        # per-sample log p(θ_s) − log q(θ_s), shape (S,)  (ref neural_net.py:110-115)
+        w, b = self._theta(params, eps)
+        sd_w = jax.nn.softplus(params["rho_w"])
+        lp = jnp.sum(_normal_logpdf(w, 0.0, self.prior_sd), axis=(-2, -1))
+        lq = jnp.sum(_normal_logpdf(w, params["mu_w"], sd_w), axis=(-2, -1))
+        out = lp - lq
+        if self.use_bias:
+            sd_b = jax.nn.softplus(params["rho_b"])
+            lpb = jnp.sum(_normal_logpdf(b, 0.0, self.prior_sd), axis=-1)
+            lqb = jnp.sum(_normal_logpdf(b, params["mu_b"], sd_b), axis=-1)
+            out = out + (lpb - lqb)
+        return out
+
+    @property
+    def is_variational(self) -> bool:
+        return True
+
+
+@dataclasses.dataclass(frozen=True)
+class VIConv2d(Layer):
+    """Mean-field Gaussian variational 2-D convolution.
+
+    TPU-native analog of the reference's ``VIConv2d`` (``psvi/models/
+    neural_net.py:194-246``). The reference parallelizes MC samples with a
+    ``groups=mc_samples`` grouped conv on reshaped inputs; here we simply
+    ``vmap`` ``lax.conv_general_dilated`` over the S axis and let XLA batch
+    the convolutions onto the MXU.
+
+    ``count_kl`` defaults to False: the reference's ELBOs skip conv-layer KL
+    terms (``psvi/inference/psvi_classes.py:479-483,506-510`` only match
+    ``VILinear``/``VILinearMultivariateNormal``).
+    """
+
+    in_channels: int
+    out_channels: int
+    kernel_size: int
+    stride: int = 1
+    padding: int = 0
+    init_sd: float = 0.01
+    prior_sd: float = 1.0
+    use_bias: bool = True
+    count_kl: bool = False
+
+    def init(self, key) -> Params:
+        kw, kb = jax.random.split(key)
+        k = self.kernel_size
+        fan_in = self.in_channels * k * k
+        bound = 1.0 / math.sqrt(fan_in)
+        rho = jnp.asarray(
+            inverse_softplus(jnp.float32(self.init_sd)), dtype=jnp.float32
+        )
+        shape = (self.out_channels, self.in_channels, k, k)
+        p = {
+            "mu_w": _uniform(kw, shape, bound),
+            "rho_w": jnp.full(shape, rho),
+        }
+        if self.use_bias:
+            p["mu_b"] = _uniform(kb, (self.out_channels,), bound)
+            p["rho_b"] = jnp.full((self.out_channels,), rho)
+        return p
+
+    def sample_eps(self, key, mc_samples: int) -> Eps:
+        kw, kb = jax.random.split(key)
+        k = self.kernel_size
+        e = {
+            "w": jax.random.normal(
+                kw, (mc_samples, self.out_channels, self.in_channels, k, k)
+            )
+        }
+        if self.use_bias:
+            e["b"] = jax.random.normal(kb, (mc_samples, self.out_channels))
+        return e
+
+    def _theta(self, params, eps):
+        w = params["mu_w"] + jax.nn.softplus(params["rho_w"]) * eps["w"]
+        b = None
+        if self.use_bias:
+            b = params["mu_b"] + jax.nn.softplus(params["rho_b"]) * eps["b"]
+        return w, b
+
+    def apply(self, params, eps, x):
+        # x: (S, N, C, H, W) ; w: (S, K, C, kh, kw)
+        w, b = self._theta(params, eps)
+        pad = [(self.padding, self.padding)] * 2
+
+        def conv_one(xs, ws):
+            return jax.lax.conv_general_dilated(
+                xs,
+                ws,
+                window_strides=(self.stride, self.stride),
+                padding=pad,
+                dimension_numbers=("NCHW", "OIHW", "NCHW"),
+            )
+
+        y = jax.vmap(conv_one)(x, w)
+        if b is not None:
+            y = y + b[:, None, :, None, None]
+        return y
+
+    def kl(self, params):
+        sd_w = jax.nn.softplus(params["rho_w"])
+        total = jnp.sum(_gaussian_kl(params["mu_w"], sd_w, self.prior_sd))
+        if self.use_bias:
+            sd_b = jax.nn.softplus(params["rho_b"])
+            total += jnp.sum(_gaussian_kl(params["mu_b"], sd_b, self.prior_sd))
+        return total
+
+    def nkl(self, params, eps):
+        w, b = self._theta(params, eps)
+        sd_w = jax.nn.softplus(params["rho_w"])
+        lp = jnp.sum(_normal_logpdf(w, 0.0, self.prior_sd), axis=(-4, -3, -2, -1))
+        lq = jnp.sum(
+            _normal_logpdf(w, params["mu_w"], sd_w), axis=(-4, -3, -2, -1)
+        )
+        out = lp - lq
+        if self.use_bias:
+            sd_b = jax.nn.softplus(params["rho_b"])
+            out = out + jnp.sum(
+                _normal_logpdf(b, 0.0, self.prior_sd)
+                - _normal_logpdf(b, params["mu_b"], sd_b),
+                axis=-1,
+            )
+        return out
+
+    @property
+    def is_variational(self) -> bool:
+        return True
+
+
+@dataclasses.dataclass(frozen=True)
+class VILinearFullCov(Layer):
+    """Full-covariance Gaussian variational dense layer.
+
+    Functional analog of the reference's ``VILinearMultivariateNormal``
+    (``psvi/models/neural_net.py:408-491``): all layer parameters (weights and
+    bias, flattened) share a single multivariate normal with learnable
+    ``scale_tril`` = softplus(diag) + free strictly-lower triangle.
+
+    The reference builds the strictly-lower indices from an (n−1)×(n−1)
+    ``tril_indices`` (``neural_net.py:427,458-459``), leaving the last row of
+    the Cholesky factor without free off-diagonal entries. We implement the
+    mathematically intended *full* strictly-lower triangle (n(n−1)/2 free
+    entries) — same covariance family, strictly more expressive; documented
+    deviation per SURVEY.md §7 "hard parts".
+    """
+
+    in_dim: int
+    out_dim: int
+    init_sd: float = 0.01
+    prior_sd: float = 1.0
+    use_bias: bool = True
+    count_kl: bool = True
+
+    @property
+    def num_params(self) -> int:
+        n = self.out_dim * self.in_dim
+        if self.use_bias:
+            n += self.out_dim
+        return n
+
+    def init(self, key) -> Params:
+        n = self.num_params
+        rho = jnp.asarray(
+            inverse_softplus(jnp.float32(self.init_sd)), dtype=jnp.float32
+        )
+        # Reference zero-initializes the packed mean (neural_net.py:425).
+        return {
+            "mean": jnp.zeros((n,), jnp.float32),
+            "rho": jnp.full((n,), rho),
+            "corr": jnp.zeros((n * (n - 1) // 2,), jnp.float32),
+        }
+
+    def sample_eps(self, key, mc_samples: int) -> Eps:
+        return {"e": jax.random.normal(key, (mc_samples, self.num_params))}
+
+    def _scale_tril(self, params):
+        n = self.num_params
+        L = jnp.zeros((n, n), jnp.float32)
+        L = L.at[jnp.diag_indices(n)].set(jax.nn.softplus(params["rho"]))
+        i, j = jnp.tril_indices(n, k=-1)
+        return L.at[i, j].set(params["corr"])
+
+    def _theta_flat(self, params, eps):
+        L = self._scale_tril(params)
+        # (S, n) samples: θ = μ + L ε
+        return params["mean"] + eps["e"] @ L.T, L
+
+    def _unpack(self, theta_flat):
+        nw = self.out_dim * self.in_dim
+        w = theta_flat[..., :nw].reshape(
+            *theta_flat.shape[:-1], self.out_dim, self.in_dim
+        )
+        b = theta_flat[..., nw:] if self.use_bias else None
+        return w, b
+
+    def apply(self, params, eps, x):
+        theta, _ = self._theta_flat(params, eps)
+        w, b = self._unpack(theta)
+        y = jnp.einsum("sni,soi->sno", x, w)
+        if b is not None:
+            y = y + b[:, None, :]
+        return y
+
+    def kl(self, params):
+        # KL( N(μ, LLᵀ) || N(0, σ_p² I) ), analytic (ref neural_net.py:435-436).
+        n = self.num_params
+        L = self._scale_tril(params)
+        diag = jnp.diagonal(L)
+        logdet_q = 2.0 * jnp.sum(jnp.log(diag))
+        tr = jnp.sum(jnp.square(L)) / self.prior_sd**2
+        quad = jnp.sum(jnp.square(params["mean"])) / self.prior_sd**2
+        logdet_p = 2.0 * n * jnp.log(jnp.float32(self.prior_sd))
+        return 0.5 * (logdet_p - logdet_q - n + tr + quad)
+
+    def nkl(self, params, eps):
+        theta, L = self._theta_flat(params, eps)
+        n = self.num_params
+        # log q(θ): θ−μ = Lε ⇒ quadratic form is ‖ε‖².
+        diag = jnp.diagonal(L)
+        lq = (
+            -0.5 * jnp.sum(jnp.square(eps["e"]), axis=-1)
+            - jnp.sum(jnp.log(diag))
+            - n * _HALF_LOG_2PI
+        )
+        lp = jnp.sum(_normal_logpdf(theta, 0.0, self.prior_sd), axis=-1)
+        return lp - lq
+
+    @property
+    def is_variational(self) -> bool:
+        return True
+
+
+@dataclasses.dataclass(frozen=True)
+class ReLU(Layer):
+    def apply(self, params, eps, x):
+        return jax.nn.relu(x)
+
+
+@dataclasses.dataclass(frozen=True)
+class Flatten(Layer):
+    """Flatten trailing (C, H, W) → features (ref ``nn.Flatten(-3, -1)``)."""
+
+    def apply(self, params, eps, x):
+        return x.reshape(*x.shape[:-3], -1)
+
+
+@dataclasses.dataclass(frozen=True)
+class MaxPool2d(Layer):
+    """Max-pool over (H, W); S and N axes pass through
+    (ref ``BatchMaxPool2d``, ``psvi/models/neural_net.py:249-255``)."""
+
+    kernel_size: int
+    stride: int
+    padding: int = 0
+
+    def apply(self, params, eps, x):
+        k, s, p = self.kernel_size, self.stride, self.padding
+        ndim = x.ndim
+        window = (1,) * (ndim - 2) + (k, k)
+        strides = (1,) * (ndim - 2) + (s, s)
+        pads = [(0, 0)] * (ndim - 2) + [(p, p), (p, p)]
+        return jax.lax.reduce_window(
+            x, -jnp.inf, jax.lax.max, window, strides, pads
+        )
+
+
+@dataclasses.dataclass(frozen=True)
+class AvgPool2d(Layer):
+    kernel_size: int
+    stride: Optional[int] = None
+
+    def apply(self, params, eps, x):
+        k = self.kernel_size
+        s = self.stride if self.stride is not None else k
+        ndim = x.ndim
+        window = (1,) * (ndim - 2) + (k, k)
+        strides = (1,) * (ndim - 2) + (s, s)
+        pads = [(0, 0)] * ndim
+        summed = jax.lax.reduce_window(
+            x, 0.0, jax.lax.add, window, strides, pads
+        )
+        return summed / float(k * k)
+
+
+@dataclasses.dataclass(frozen=True)
+class BatchNorm2d(Layer):
+    """Batch normalization over (S·N, H, W) per channel.
+
+    Matches the reference's effective behavior: ``BayesBatchNorm2d``
+    (``neural_net.py:257-263``) flattens (S, N) and normalizes with
+    *current-batch* statistics — the reference never calls ``model.eval()``
+    during PSVI training or evaluation, so train-mode stats are always used.
+    Running statistics are therefore not tracked.
+    """
+
+    num_features: int
+    eps: float = 1e-5
+
+    def init(self, key) -> Params:
+        return {
+            "gamma": jnp.ones((self.num_features,), jnp.float32),
+            "beta": jnp.zeros((self.num_features,), jnp.float32),
+        }
+
+    def apply(self, params, eps, x):
+        # x: (S, N, C, H, W) — stats over all but channel axis.
+        axes = (0, 1, 3, 4)
+        mean = jnp.mean(x, axis=axes, keepdims=True)
+        var = jnp.var(x, axis=axes, keepdims=True)
+        xhat = (x - mean) * jax.lax.rsqrt(var + self.eps)
+        g = params["gamma"][None, None, :, None, None]
+        b = params["beta"][None, None, :, None, None]
+        return xhat * g + b
+
+
+@dataclasses.dataclass(frozen=True)
+class LocalResponseNorm(Layer):
+    """Cross-channel local response normalization (AlexNet; ref
+    ``nn.LocalResponseNorm(4, alpha=0.001/9, beta=0.75, k=1)``,
+    ``psvi/models/neural_net.py:384-388``)."""
+
+    size: int
+    alpha: float = 1e-4
+    beta: float = 0.75
+    k: float = 1.0
+
+    def apply(self, params, eps, x):
+        # x: (S, N, C, H, W); sum x² over a channel window of `size`.
+        n = self.size
+        sq = jnp.square(x)
+        lo, hi = (n - 1) // 2, n - 1 - (n - 1) // 2
+        ndim = x.ndim
+        window = (1, 1, n) + (1,) * (ndim - 3)
+        strides = (1,) * ndim
+        pads = [(0, 0), (0, 0), (lo, hi)] + [(0, 0)] * (ndim - 3)
+        ssum = jax.lax.reduce_window(sq, 0.0, jax.lax.add, window, strides, pads)
+        denom = jnp.power(self.k + (self.alpha / n) * ssum, self.beta)
+        return x / denom
+
+
+@dataclasses.dataclass(frozen=True)
+class Sequential:
+    """A pure-functional network: an ordered tuple of layers.
+
+    The functional analog of the reference's ``nn.Sequential`` of variational
+    modules. All methods are jit-traceable with `self` closed over statically.
+    """
+
+    layers: Tuple[Layer, ...]
+
+    def init(self, key) -> Params:
+        keys = jax.random.split(key, max(len(self.layers), 1))
+        return tuple(l.init(k) for l, k in zip(self.layers, keys))
+
+    def sample_eps(self, key, mc_samples: int) -> Eps:
+        keys = jax.random.split(key, max(len(self.layers), 1))
+        return tuple(
+            l.sample_eps(k, mc_samples) for l, k in zip(self.layers, keys)
+        )
+
+    def apply(self, params: Params, eps: Eps, x, mc_samples: Optional[int] = None):
+        """Forward all S samples. x: (N, ...) or (S, N, ...)."""
+        if mc_samples is None:
+            mc_samples = _infer_mc_samples(eps)
+        # Contract: callers pass (N, D) or (N, C, H, W); Sequential adds S.
+        x = jnp.broadcast_to(x[None], (mc_samples,) + x.shape)
+        for layer, p, e in zip(self.layers, params, eps):
+            x = layer.apply(p, e, x)
+        return x
+
+    def kl(self, params: Params):
+        """Analytic KL summed over KL-counted variational layers
+        (ref ``psvi_classes.py:506-510``)."""
+        total = jnp.float32(0.0)
+        for layer, p in zip(self.layers, params):
+            if layer.is_variational and layer.count_kl:
+                total = total + layer.kl(p)
+        return total
+
+    def nkl(self, params: Params, eps: Eps):
+        """Per-sample log p(θ)−log q(θ) summed over KL-counted layers,
+        shape (S,) (ref ``psvi_classes.py:479-483``)."""
+        total = None
+        for layer, p, e in zip(self.layers, params, eps):
+            if layer.is_variational and layer.count_kl:
+                term = layer.nkl(p, e)
+                total = term if total is None else total + term
+        if total is None:
+            S = _infer_mc_samples(eps)
+            total = jnp.zeros((S,), jnp.float32)
+        return total
+
+    @property
+    def variational_layers(self) -> Tuple[int, ...]:
+        return tuple(
+            i for i, l in enumerate(self.layers) if l.is_variational
+        )
+
+
+def _infer_mc_samples(eps) -> int:
+    leaves = jax.tree_util.tree_leaves(eps)
+    if not leaves:
+        raise ValueError("cannot infer mc_samples from empty eps pytree")
+    return leaves[0].shape[0]
+
+
+@dataclasses.dataclass(frozen=True)
+class Residual(Layer):
+    """Residual block wrapper: y = relu(body(x) + shortcut(x)).
+
+    Used by the ResNet family (ref ``psvi/models/neural_net.py:532-584``).
+    body/shortcut are Sequentials; params/eps are dicts with those keys.
+    """
+
+    body: "Sequential"
+    shortcut: "Sequential"
+
+    def init(self, key) -> Params:
+        kb, ks = jax.random.split(key)
+        return {"body": self.body.init(kb), "shortcut": self.shortcut.init(ks)}
+
+    def sample_eps(self, key, mc_samples: int) -> Eps:
+        kb, ks = jax.random.split(key)
+        return {
+            "body": self.body.sample_eps(kb, mc_samples),
+            "shortcut": self.shortcut.sample_eps(ks, mc_samples),
+        }
+
+    def _sub_apply(self, net, params, eps, x):
+        # x already has the S axis; apply layers directly without broadcasting.
+        for layer, p, e in zip(net.layers, params, eps):
+            x = layer.apply(p, e, x)
+        return x
+
+    def apply(self, params, eps, x):
+        out = self._sub_apply(self.body, params["body"], eps["body"], x)
+        sc = self._sub_apply(self.shortcut, params["shortcut"], eps["shortcut"], x)
+        return jax.nn.relu(out + sc)
+
+    def kl(self, params):
+        return self.body.kl(params["body"]) + self.shortcut.kl(params["shortcut"])
+
+    def nkl(self, params, eps):
+        return self.body.nkl(params["body"], eps["body"]) + self.shortcut.nkl(
+            params["shortcut"], eps["shortcut"]
+        )
+
+    @property
+    def is_variational(self) -> bool:
+        # Delegates counting to sub-layers' count_kl flags via kl()/nkl().
+        return any(
+            l.is_variational and l.count_kl
+            for l in self.body.layers + self.shortcut.layers
+        )
+
+    @property
+    def count_kl(self) -> bool:
+        return self.is_variational
