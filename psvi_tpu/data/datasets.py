@@ -1,0 +1,286 @@
+"""Dataset registry and loading.
+
+TPU-native data layer replacing the reference's torch
+``Dataset``/``DataLoader`` stack (``psvi/experiments/experiments_utils.py:
+704-834``): full datasets live in host NumPy arrays; per-step minibatches
+are drawn on device via ``jax.random`` index sampling (the reference draws
+ONE shuffled batch per outer step — ``psvi_classes.py:895`` — not an epoch
+sweep; the engine replicates that semantics).
+
+Supported names (parity with ``read_dataset``, ref :752-834):
+  halfmoon, four_blobs, synth_lr_<D>, normal_mvn — synthetic, generated here
+  phishing, adult, webspam — file-gated (need data_folder files; the
+      reference downloads them at run time, impossible under zero egress)
+  MNIST, FashionMNIST, Cifar10 — file-gated npz; `synth_mnist`/`synth_cifar`
+      provide shape-compatible synthetic stand-ins
+Regression benchmarks (ref :159-296): sinus (generated), UCI sets file-gated;
+``hyperparams_for_regression`` tau grids reproduced verbatim.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Optional, Tuple
+
+import numpy as np
+
+from psvi_tpu.data import synthetic
+
+# normalization / shape stats for vision datasets (ref experiments_utils.py:42-78)
+DATASET_NORMALIZATION = {
+    "MNIST": ((0.1307,), (0.3081,)),
+    "FashionMNIST": ((0.2861,), (0.3530,)),
+    "Cifar10": ((0.4914, 0.4822, 0.4465), (0.247, 0.243, 0.261)),
+}
+DATASET_STATS = {  # channels, side, classes, n_train
+    "MNIST": (1, 28, 10, 60000),
+    "FashionMNIST": (1, 28, 10, 60000),
+    "Cifar10": (3, 32, 10, 50000),
+    "synth_mnist": (1, 28, 10, 6000),
+    "synth_cifar": (3, 32, 10, 6000),
+}
+VISION_DATASETS = tuple(DATASET_STATS)
+
+
+@dataclasses.dataclass
+class DataBundle:
+    x: np.ndarray  # train inputs
+    y: np.ndarray  # train targets (float labels, reference convention)
+    xt: np.ndarray  # test inputs
+    yt: np.ndarray
+    N: int
+    D: int  # flat feature dim (vision: side*side as in ref DatasetStats usage)
+    nc: int
+    channels: int = 0  # >0 for image data (x is (N, C, H, W))
+    xv: Optional[np.ndarray] = None  # validation (regression flows)
+    yv: Optional[np.ndarray] = None
+    y_mean: float = 0.0
+    y_std: float = 1.0
+    taus: Tuple[float, ...] = ()
+
+
+def _split_train_test(X, Y, test_ratio):
+    """Split from the end (ref :797-804: x=X[:-test_size])."""
+    Y = np.where(Y == -1, 0, Y)
+    test_size = int(test_ratio * X.shape[0])
+    return X[:-test_size], Y[:-test_size], X[-test_size:], Y[-test_size:]
+
+
+def _load_vision_npz(dnm, data_folder):
+    """Expected file: {data_folder}/{dnm.lower()}.npz with keys
+    x_train (N,H,W[,C] uint8 or float), y_train, x_test, y_test."""
+    path = os.path.join(data_folder, f"{dnm.lower()}.npz")
+    if not os.path.exists(path):
+        return None
+    d = np.load(path)
+    return d["x_train"], d["y_train"], d["x_test"], d["y_test"]
+
+
+def _normalize_images(x, dnm, channels):
+    x = x.astype(np.float32)
+    if x.max() > 1.5:
+        x = x / 255.0
+    if x.ndim == 3:
+        x = x[:, None]  # (N, 1, H, W)
+    elif x.ndim == 4 and x.shape[-1] in (1, 3):
+        x = np.transpose(x, (0, 3, 1, 2))
+    mean, std = DATASET_NORMALIZATION.get(dnm, ((0.0,) * channels, (1.0,) * channels))
+    mean = np.asarray(mean, np.float32).reshape(1, -1, 1, 1)
+    std = np.asarray(std, np.float32).reshape(1, -1, 1, 1)
+    return (x - mean) / std
+
+
+def read_dataset(dnm: str, test_ratio: float = 0.2, data_folder: str = "data",
+                 seed: int = 0) -> DataBundle:
+    rng = np.random.default_rng(seed)
+    if dnm == "halfmoon":
+        X, Y = synthetic.make_halfmoon(1000, 0.1, 42)
+        nc = 2
+    elif dnm == "four_blobs":
+        X, Y = synthetic.make_four_class_dataset(250, rng)
+        nc = 4
+    elif dnm.startswith("synth_lr"):
+        X, Y = synthetic.make_synthetic(1000, D=int(dnm.split("_")[-1]), rng=rng)
+        nc = 2
+    elif dnm == "normal_mvn":
+        X, Y = synthetic.make_synthetic_normal(1000)
+        nc = 2
+    elif dnm in ("phishing", "adult", "webspam"):
+        bundle = _read_binary_benchmark(dnm, data_folder, test_ratio)
+        return bundle
+    elif dnm in VISION_DATASETS:
+        return _read_vision(dnm, data_folder, rng)
+    else:
+        raise ValueError(f"unknown dataset {dnm!r}")
+
+    x, y, xt, yt = _split_train_test(X, Y, test_ratio)
+    N, D = x.shape
+    return DataBundle(x, y, xt, yt, N, D, nc)
+
+
+def _read_vision(dnm, data_folder, rng):
+    channels, side, nc, _ = DATASET_STATS[dnm]
+    if dnm.startswith("synth_"):
+        x, y, xt, yt = synthetic.make_synth_images(
+            n_per_class=DATASET_STATS[dnm][3] // nc,
+            nc=nc, side=side, channels=channels, rng=rng,
+        )
+    else:
+        loaded = _load_vision_npz(dnm, data_folder)
+        if loaded is None:
+            raise FileNotFoundError(
+                f"{dnm} requires {data_folder}/{dnm.lower()}.npz "
+                "(keys x_train,y_train,x_test,y_test); network download is "
+                "unavailable in this environment. Use 'synth_mnist' / "
+                "'synth_cifar' for a shape-compatible synthetic stand-in."
+            )
+        x, y, xt, yt = loaded
+        x = _normalize_images(x, dnm, channels)
+        xt = _normalize_images(xt, dnm, channels)
+        y = y.astype(np.float32)
+        yt = yt.astype(np.float32)
+    N = len(x)
+    D = side * side
+    return DataBundle(x, y, xt, yt, N, D, nc, channels=channels)
+
+
+def _read_binary_benchmark(dnm, data_folder, test_ratio):
+    """phishing/adult/webspam: file-gated (ref downloads at :447-662)."""
+    path = os.path.join(data_folder, f"{dnm}.npz")
+    if not os.path.exists(path):
+        raise FileNotFoundError(
+            f"{dnm} requires {path} (keys X, y [, Xt, yt]); the reference "
+            "downloads it at run time which is unavailable here."
+        )
+    d = np.load(path)
+    if "Xt" in d:
+        x, y, xt, yt = d["X"], d["y"], d["Xt"], d["yt"]
+        y, yt = np.where(y == -1, 0, y), np.where(yt == -1, 0, yt)
+    else:
+        x, y, xt, yt = _split_train_test(d["X"], d["y"], test_ratio)
+    N, D = x.shape
+    return DataBundle(
+        x.astype(np.float32), y.astype(np.float32),
+        xt.astype(np.float32), yt.astype(np.float32), N, D, 2,
+    )
+
+
+def hyperparams_for_regression():
+    """Tau grid-search space (ref experiments_utils.py:271-296)."""
+    return {
+        "concrete": [0.025, 0.05, 0.075],
+        "energy": [0.25, 0.5, 0.75],
+        "power": [0.05, 0.1, 0.15],
+        "kin8nm": [150, 200, 250],
+        "protein": [0.025, 0.05, 0.075],
+        "naval": [30000, 40000, 50000],
+        "yacht": [0.25, 0.5, 0.75],
+        "boston": [0.1, 0.15, 0.2],
+        "wine": [2.5, 3.0, 3.5],
+        "year": [0.1, 1.0, 10.0],
+        "sinus": [0.1, 1.0, 10.0],
+    }
+
+
+_UCI_FILES = {
+    "concrete": "Concrete_Data.xls",
+    "energy": "ENB2012_data.xlsx",
+    "power": "CCPP/Folds5x2_pp.xlsx",
+    "kin8nm": "dataset_2175_kin8nm.arff",
+    "protein": "CASP.csv",
+    "naval": "UCI CBM Dataset/data.txt",
+    "yacht": "yacht_hydrodynamics.data",
+    "boston": "housing.data",
+    "wine": "winequality-red.csv",
+    "year": "YearPredictionMSD.txt",
+}
+
+
+def get_regression_benchmark(name, seed=111, data_dir="data/", **split_kwargs):
+    """(X, Y), splits — ref ``experiments_utils.py:217-268``. UCI sets are
+    file-gated (no egress); ``sinus`` is generated."""
+    rng = np.random.default_rng(seed)
+    if name == "sinus":
+        X, Y = synthetic.make_sinus(1000, rng)
+        data = np.concatenate([X, Y], axis=-1)
+    else:
+        fname = os.path.join(data_dir, _UCI_FILES.get(name, ""))
+        if not os.path.exists(fname):
+            raise FileNotFoundError(
+                f"regression benchmark {name!r} requires {fname}; "
+                "downloads are unavailable in this environment."
+            )
+        data = _parse_uci(name, fname)
+    if name in ("energy", "naval"):
+        X, Y = data[:, :-2], data[:, -2:-1]
+    else:
+        X, Y = data[:, :-1], data[:, -1:]
+    return (X, Y), split_data(len(X), seed=seed, **split_kwargs)
+
+
+def _parse_uci(name, fname):
+    import pandas as pd
+
+    if name in ("concrete", "energy", "power"):
+        return np.array(pd.read_excel(fname))
+    if name == "protein":
+        return np.array(pd.read_csv(fname))
+    if name == "wine":
+        return np.array(pd.read_csv(fname, delimiter=";"))
+    return np.loadtxt(fname)
+
+
+def split_data(N, p_split=(0.6, 0.2, 0.2), n_split=None, shuffle=True, seed=None):
+    """Train/val/test index splitter (ref experiments_utils.py:107-141)."""
+    rng = np.random.default_rng(seed)
+    if n_split is None:
+        p_split = np.array(p_split, dtype=np.float64)
+        assert np.sum(p_split == -1) <= 1
+        p_split[p_split == -1] = 1 - (np.sum(p_split) + 1)
+        train_idx = int(np.ceil(p_split[0] * N))
+        val_idx = int(np.ceil(train_idx + p_split[1] * N))
+    else:
+        n_split = np.array(n_split)
+        assert np.sum(n_split == -1) <= 1
+        n_split[n_split == -1] = N - (np.sum(n_split) + 1)
+        train_idx = int(n_split[0])
+        val_idx = int(train_idx + n_split[1])
+    idx = np.arange(N)
+    if shuffle:
+        rng.shuffle(idx)
+    return {"train": idx[:train_idx], "val": idx[train_idx:val_idx],
+            "test": idx[val_idx:]}
+
+
+def read_regression_dataset(dnm, seed=0, num_test=100, data_dir="data/"):
+    """Normalized regression bundle (ref experiments_utils.py:159-214)."""
+    # The reference passes p_split=(-1, 0.1, num_test) mixing a fraction and
+    # a count (experiments_utils.py:163); we resolve it explicitly: num_test
+    # points for test, 10% for validation, the rest for training.
+    (X, Y), idx = get_regression_benchmark(
+        dnm, seed=seed, data_dir=data_dir,
+        n_split=None, p_split=(0.6, 0.2, 0.2),
+    )
+    # recompute with explicit counts
+    N_total = len(X)
+    n_val = int(np.ceil(0.1 * N_total))
+    n_te = int(num_test) if num_test >= 1 else int(np.ceil(num_test * N_total))
+    idx = split_data(
+        N_total, n_split=(N_total - n_val - n_te, n_val, n_te), seed=seed
+    )
+    taus = hyperparams_for_regression()[dnm]
+    x, y = X[idx["train"]], Y[idx["train"]]
+    xv, yv = X[idx["val"]], Y[idx["val"]]
+    xt, yt = X[idx["test"]], Y[idx["test"]]
+    x_mean, x_std = np.mean(x, 0), np.std(x, 0)
+    y_mean, y_std = np.mean(y), np.std(y)
+    x_std = np.where(x_std == 0, 1.0, x_std)
+    norm = lambda a: ((a - x_mean) / x_std).astype(np.float32)
+    return DataBundle(
+        x=norm(x), y=((y - y_mean) / y_std).astype(np.float32),
+        xt=norm(xt), yt=yt.astype(np.float32),
+        xv=norm(xv), yv=yv.astype(np.float32),
+        N=len(x), D=x.shape[1], nc=1,
+        y_mean=float(y_mean), y_std=float(y_std), taus=tuple(taus),
+    )

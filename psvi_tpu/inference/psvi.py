@@ -1,0 +1,907 @@
+"""PSVI inference engine — the flagship path.
+
+TPU-native re-design of the reference ``PSVI`` class hierarchy
+(``psvi/inference/psvi_classes.py:83-1934``). Instead of 13 subclasses with
+stateful torch modules, ``higher`` monkeypatching and per-method optimizer
+mutation, the engine is:
+
+- ONE jitted outer-step function per trainer, built over a pure
+  ``PSVIState`` pytree;
+- the subclass lattice collapsed into a static ``MethodSpec``
+  (``psvi_tpu/utils/config.py:METHOD_SPECS``);
+- the inner variational loop = ``jax.lax.scan`` over a pure differentiable
+  Adam (``ops/optim.py``), with the outer gradient flowing through the
+  unroll via ``jax.grad`` — replacing ``robust_higher`` entirely
+  (ref ``nested_step`` :541-600);
+- implicit-differentiation trainer via ``ops/hypergrad.cg_normaleq``
+  (ref ``hyper_step`` :602-687);
+- minibatching = on-device index sampling per outer step, replicating the
+  reference's one-fresh-batch-per-step dataloader semantics (:894-898);
+- evaluation = a jitted scan over padded test batches (ref ``evaluate``
+  :1031-1108) including the importance-weighted predictive correction and
+  IW/ESS diagnostics.
+
+Lifecycle features (ref ``run_psvi`` :761-1028): weight reset (:1110-1128),
+coreset pruning (:1177-1192), incremental learning (:1194-1217, :946-965),
+retraining on the extracted coreset (:967-1003).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from functools import partial
+from typing import Any, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from psvi_tpu.data.datasets import DataBundle
+from psvi_tpu.models.networks import set_up_model
+from psvi_tpu.ops import elbo as E
+from psvi_tpu.ops import hypergrad as H
+from psvi_tpu.ops import optim as O
+from psvi_tpu.utils.config import MethodSpec, METHOD_SPECS
+from psvi_tpu.utils.resource import LogResource
+from psvi_tpu.utils.prng import trial_key
+
+
+class PSVIState(NamedTuple):
+    params: Any  # variational network parameters
+    u: jnp.ndarray  # pseudo-inputs (M, ...)
+    z: jnp.ndarray  # pseudo-targets (M,) or (M, nc) soft labels
+    v: jnp.ndarray  # raw log-likelihood weights (M,)
+    alpha: jnp.ndarray  # global evidence rescaler, shape (1,)
+    opt_u: Any
+    opt_v: Any
+    opt_z: Any
+    opt_alpha: Any
+    opt_net: Any  # persistent net optimizer (alternating / retrain)
+    opt_joint: Any  # joint trainer state
+    net_step: jnp.ndarray  # scheduler counter (int32)
+
+
+def _count_pad(n, b):
+    return (b - n % b) % b
+
+
+class PSVI:
+    """Black-box coreset VI engine (classification).
+
+    Equivalent surface to ``PSVI.run_psvi`` and its subclasses; the method
+    name (e.g. ``psvi_learn_v``) selects a ``MethodSpec``.
+    """
+
+    likelihood = "categorical"
+
+    def __init__(
+        self,
+        data: DataBundle,
+        method: str = "psvi_learn_v",
+        num_pseudo: int = 10,
+        seed: int = 0,
+        mc_samples: int = 10,
+        architecture: str = "logistic_regression",
+        n_hidden: int = 40,
+        n_layers: int = 1,
+        init_sd: float = 1e-3,
+        data_minibatch: int = 128,
+        inner_it: int = 10,
+        trainer: str = "nested",
+        lr0net: float = 1e-3,
+        lr0u: float = 1e-4,
+        lr0v: float = 1e-3,
+        lr0z: float = 1e-3,
+        lr0alpha: float = 1e-3,
+        lr0joint: float = 1e-3,
+        gamma: float = 1.0,
+        num_epochs: int = 100,
+        log_every: int = 10,
+        register_elbos: bool = False,
+        init_args: str = "subsample",
+        learn_z: Optional[bool] = None,
+        reset: bool = False,
+        reset_interval: int = 10,
+        prune: bool = False,
+        prune_interval: Optional[int] = None,
+        prune_sizes: tuple = (),
+        increment: bool = False,
+        increment_interval: Optional[int] = None,
+        increment_sizes: tuple = (),
+        retrain_on_coreset: bool = False,
+        log_pseudodata: bool = False,
+        compute_weights_entropy: bool = True,
+        tau: float = 0.1,
+        hyper_K: int = 30,
+        linsys_lr: float = 1e-4,
+        truncated: bool = False,
+        truncated_K: int = 5,
+        remat_inner: bool = False,
+        spec: Optional[MethodSpec] = None,
+        **kwargs,
+    ):
+        self.data = data
+        self.method = method
+        self.spec = spec if spec is not None else METHOD_SPECS[method]
+        if learn_z is not None and learn_z:
+            self.spec = dataclasses.replace(self.spec, learn_z=True)
+        self.seed = seed
+        self.N, self.D, self.nc = data.N, data.D, data.nc
+        self.num_pseudo = (
+            num_pseudo if not increment else (increment_sizes[0] if increment_sizes else num_pseudo)
+        )
+        self.mc_samples = 1 if self.spec.single_sample_train else mc_samples
+        self.mc_samples_eval = 5 if self.spec.single_sample_train else mc_samples
+        self.architecture = architecture
+        self.n_hidden, self.n_layers, self.init_sd = n_hidden, n_layers, init_sd
+        self.data_minibatch = min(data_minibatch, self.N)
+        self.inner_it = inner_it
+        self.trainer = trainer
+        self.lrs = dict(
+            net=lr0net, u=lr0u, v=lr0v, z=lr0z, alpha=lr0alpha, joint=lr0joint
+        )
+        self.gamma = gamma
+        self.num_epochs = num_epochs
+        self.log_every = log_every
+        self.register_elbos = register_elbos
+        self.init_args = init_args
+        self.reset = reset
+        self.reset_interval = reset_interval
+        self.prune, self.prune_interval, self.prune_sizes = (
+            prune, prune_interval, tuple(prune_sizes or ()),
+        )
+        self.increment, self.increment_interval = increment, increment_interval
+        self.increment_sizes = tuple(increment_sizes or ())
+        self.retrain_on_coreset = retrain_on_coreset
+        self.log_pseudodata = log_pseudodata
+        self.compute_weights_entropy = compute_weights_entropy
+        self.tau = tau
+        self.hyper_K, self.linsys_lr = hyper_K, linsys_lr
+        self.truncated, self.truncated_K = truncated, truncated_K
+        self.remat_inner = remat_inner
+        self.elbos = []
+        self.results: dict = {}
+        self.chosen_indices: list = []
+
+        self.key = trial_key(seed, 0)
+
+        # device-resident data
+        self.x_train = jnp.asarray(data.x)
+        self.y_train = jnp.asarray(data.y)
+        self.x_test = jnp.asarray(data.xt)
+        self.y_test = jnp.asarray(data.yt)
+
+        # incremental learning: start with classes {0, 1}
+        # (ref run_psvi :823-832)
+        if self.increment:
+            self._full_xy = (np.asarray(data.x), np.asarray(data.y))
+            self._full_xy_test = (np.asarray(data.xt), np.asarray(data.yt))
+            self.nc = 2
+            tr_mask = np.isin(np.asarray(data.y), [0, 1])
+            te_mask = np.isin(np.asarray(data.yt), [0, 1])
+            self.x_train = jnp.asarray(np.asarray(data.x)[tr_mask])
+            self.y_train = jnp.asarray(np.asarray(data.y)[tr_mask])
+            self.x_test = jnp.asarray(np.asarray(data.xt)[te_mask])
+            self.y_test = jnp.asarray(np.asarray(data.yt)[te_mask])
+            self.train_data_so_far = int(tr_mask.sum())
+
+        self.n_train_now = int(self.x_train.shape[0])
+        self.data_minibatch = min(self.data_minibatch, self.n_train_now)
+
+        self._build_model()
+        self._init_state()
+        self._compile()
+
+    # ------------------------------------------------------------------
+    # construction
+    # ------------------------------------------------------------------
+
+    def _build_model(self):
+        n_channels = self.data.channels or 1
+        self.net = set_up_model(
+            self.architecture, self.D, self.n_hidden, self.nc, self.init_sd,
+            n_layers=self.n_layers, n_channels=n_channels,
+        )
+
+    def _core_weights(self, v, alpha):
+        """N·f(v): the coreset likelihood weighting (ref f maps,
+        ``psvi_classes.py:111,1358-1360,1486-1488``)."""
+        if self.spec.parameterised:
+            fv = jax.nn.softmax(v)
+        else:
+            fv = v
+        if self.spec.learn_alpha:
+            fv = jnp.exp(alpha[0]) * fv
+        return self.N * fv, fv
+
+    def _init_pseudodata(self, key):
+        """Pseudodata init (ref :229-308): 'subsample' = class-balanced random
+        subset; 'random' = noisy empirical mean + balanced labels."""
+        M, nc = self.num_pseudo, self.nc
+        x_np = np.asarray(self.x_train)
+        y_np = np.asarray(self.y_train)
+        rng = np.random.default_rng(self.seed)
+        ppc = [M // nc] * nc
+        ppc[-1] = M - sum(ppc[:-1])
+        if self.init_args in ("subsample", "custom", "saved"):
+            # 'custom'/'saved' fall back to subsample until the selection
+            # subsystem provides chosen indices (wired by CoresetSelect).
+            us, zs, idcs = [], [], []
+            for c in range(nc):
+                cls_idx = np.where(y_np == c)[0]
+                take = rng.choice(cls_idx, size=ppc[c], replace=len(cls_idx) < ppc[c])
+                us.append(x_np[take])
+                zs.append(np.full(ppc[c], c, dtype=np.float32))
+                idcs.extend(take.tolist())
+            u = jnp.asarray(np.concatenate(us))
+            z = jnp.asarray(np.concatenate(zs))
+            self.chosen_indices = idcs
+        elif self.init_args == "random":
+            mean = x_np.mean(axis=0, keepdims=True)
+            u = jnp.asarray(
+                mean + 1.0 * rng.standard_normal((M,) + x_np.shape[1:]).astype(np.float32)
+            )
+            z = jnp.asarray(
+                np.concatenate([np.full(p, c, dtype=np.float32) for c, p in enumerate(ppc)])
+            )
+        else:
+            raise ValueError(f"unknown init_args {self.init_args!r}")
+
+        if self.spec.learn_z and self.likelihood == "categorical":
+            z = jax.nn.one_hot(z.astype(jnp.int32), nc, dtype=jnp.float32)
+        return u, z
+
+    def _init_v(self):
+        M = self.num_pseudo
+        if self.spec.parameterised:
+            # PSVILearnV: v = 0 on the softmax parameterization (:1353-1357)
+            return jnp.zeros((M,), jnp.float32)
+        v = jnp.full((M,), 1.0 / M, jnp.float32)
+        if self.spec.no_rescaling:
+            v = v / self.N  # PSVI_No_Rescaling (:1371-1373)
+        return v
+
+    def _init_state(self):
+        self.key, k_model, k_pseudo = jax.random.split(self.key, 3)
+        params = self.net.init(k_model)
+        u, z = self._init_pseudodata(k_pseudo)
+        v = self._init_v()
+        alpha = jnp.zeros((1,), jnp.float32)
+
+        self.opt_u = O.adam(self.lrs["u"])
+        self.opt_v = O.adam(self.lrs["v"])
+        self.opt_z = O.adam(self.lrs["z"])
+        self.opt_alpha = O.adam(self.lrs["alpha"])
+        self.opt_net = O.adam(self.lrs["net"])
+        self.opt_joint = O.adam(self.lrs["joint"])
+        self.inner_opt = O.adam(self.lrs["net"])
+
+        # StepLR schedule for the net lr (ref :803-807,864-866)
+        epoch_quarter = (self.N // self.data_minibatch) // 4
+        self.lr_net_sched = O.step_lr(
+            self.lrs["net"], epoch_quarter if epoch_quarter > 0 else 10000,
+            self.gamma,
+        )
+
+        joint_leaves = {"params": params, "u": u}
+        if self.spec.learn_v:
+            joint_leaves["v"] = v
+
+        self.state = PSVIState(
+            params=params, u=u, z=z, v=v, alpha=alpha,
+            opt_u=self.opt_u.init(u),
+            opt_v=self.opt_v.init(v),
+            opt_z=self.opt_z.init(z),
+            opt_alpha=self.opt_alpha.init(alpha),
+            opt_net=self.opt_net.init(params),
+            opt_joint=self.opt_joint.init(joint_leaves),
+            net_step=jnp.zeros((), jnp.int32),
+        )
+
+    # ------------------------------------------------------------------
+    # objectives over state
+    # ------------------------------------------------------------------
+
+    @property
+    def _learn_z_kldiv(self):
+        return self.spec.learn_z and self.likelihood == "categorical"
+
+    def _inner_loss(self, params, eps, u, z, v, alpha):
+        cw, _ = self._core_weights(v, alpha)
+        return E.inner_elbo(
+            self.net, params, eps, u, z, cw,
+            likelihood=self.likelihood, learn_z=self._learn_z_kldiv,
+            nc=self.nc, tau=self.tau,
+        )
+
+    def _outer_loss(self, params, eps, u, z, v, alpha, xb, yb):
+        if self.spec.ablated:
+            return E.ablated_elbo(
+                self.net, params, eps, xb, yb, self.N,
+                likelihood=self.likelihood, nc=self.nc, tau=self.tau,
+            )
+        cw, _ = self._core_weights(v, alpha)
+        return E.psvi_elbo(
+            self.net, params, eps, u, z, cw, xb, yb, self.N,
+            likelihood=self.likelihood, learn_z=self._learn_z_kldiv,
+            nc=self.nc, tau=self.tau,
+        )
+
+    def _run_inner(self, params0, u, z, v, alpha, key, lr_now, n_steps=None,
+                   opt=None, opt_state=None):
+        """T differentiable inner Adam steps via lax.scan (ref nested_step
+        :549-555; fresh optimizer state per outer step, matching
+        ``higher.innerloop_ctx`` semantics)."""
+        T = self.inner_it if n_steps is None else n_steps
+        opt = opt or self.inner_opt
+        opt_state = opt_state if opt_state is not None else opt.init(params0)
+        keys = jax.random.split(key, max(T, 1))
+
+        def body(carry, k):
+            params, ostate = carry
+            eps = self.net.sample_eps(k, self.mc_samples)
+            loss, g = jax.value_and_grad(self._inner_loss)(
+                params, eps, u, z, v, alpha
+            )
+            params, ostate = opt.step(params, g, ostate, lr_now)
+            return (params, ostate), loss
+
+        if self.remat_inner:
+            body = jax.checkpoint(body)
+        (paramsT, ostateT), inner_losses = jax.lax.scan(
+            body, (params0, opt_state), keys[:T]
+        )
+        return paramsT, ostateT, inner_losses
+
+    # ------------------------------------------------------------------
+    # trainers
+    # ------------------------------------------------------------------
+
+    def _sample_batch(self, key):
+        idx = jax.random.choice(
+            key, self.n_train_now, (self.data_minibatch,), replace=False
+        )
+        return self.x_train[idx], self.y_train[idx]
+
+    def _hyper_tree(self, state: PSVIState):
+        h = {}
+        if self.spec.learn_u and not self.spec.evaluate_only:
+            h["u"] = state.u
+        if self.spec.learn_v:
+            h["v"] = state.v
+        if self.spec.learn_z and not self.spec.evaluate_only:
+            h["z"] = state.z
+        if self.spec.learn_alpha:
+            h["alpha"] = state.alpha
+        return h
+
+    def _apply_hyper_updates(self, state: PSVIState, grads):
+        u, v, z, alpha = state.u, state.v, state.z, state.alpha
+        opt_u, opt_v, opt_z, opt_alpha = (
+            state.opt_u, state.opt_v, state.opt_z, state.opt_alpha,
+        )
+        if "u" in grads:
+            u, opt_u = self.opt_u.step(u, grads["u"], opt_u)
+        if "v" in grads:
+            v, opt_v = self.opt_v.step(v, grads["v"], opt_v)
+            if not self.spec.parameterised:
+                v = jnp.maximum(v, 0.0)  # clamp (ref :585-591)
+        if "z" in grads:
+            z, opt_z = self.opt_z.step(z, grads["z"], opt_z)
+        if "alpha" in grads:
+            alpha, opt_alpha = self.opt_alpha.step(alpha, grads["alpha"], opt_alpha)
+        return state._replace(
+            u=u, v=v, z=z, alpha=alpha, opt_u=opt_u, opt_v=opt_v,
+            opt_z=opt_z, opt_alpha=opt_alpha,
+        )
+
+    def _nested_step(self, state: PSVIState, key):
+        """Bilevel step: differentiate the outer IW-ELBO through the unrolled
+        inner loop (ref ``nested_step`` :541-600)."""
+        k_batch, k_inner, k_outer = jax.random.split(key, 3)
+        xb, yb = self._sample_batch(k_batch)
+        lr_now = self.lr_net_sched(state.net_step)
+        hyper = self._hyper_tree(state)
+
+        params0 = state.params
+        if self.truncated:
+            # non-differentiated warmup with a fresh Adam(1e-4) (ref :561-571)
+            warm_opt = O.adam(1e-4)
+            params0, _, _ = self._run_inner(
+                params0, state.u, state.z, state.v, state.alpha,
+                jax.random.fold_in(k_inner, 1),
+                lr_now=jnp.float32(1e-4),
+                n_steps=self.inner_it - self.truncated_K, opt=warm_opt,
+            )
+
+        def outer(h):
+            u = h.get("u", state.u)
+            v = h.get("v", state.v)
+            z = h.get("z", state.z)
+            alpha = h.get("alpha", state.alpha)
+            paramsT, _, inner_losses = self._run_inner(
+                params0, u, z, v, alpha, k_inner, lr_now,
+                n_steps=self.truncated_K if self.truncated else None,
+            )
+            eps = self.net.sample_eps(k_outer, self.mc_samples)
+            loss = self._outer_loss(paramsT, eps, u, z, v, alpha, xb, yb)
+            return loss, (paramsT, inner_losses)
+
+        if hyper:
+            (loss, (paramsT, inner_losses)), grads = jax.value_and_grad(
+                outer, has_aux=True
+            )(hyper)
+            state = self._apply_hyper_updates(state, grads)
+        else:
+            loss, (paramsT, inner_losses) = outer(hyper)
+
+        state = state._replace(
+            params=paramsT, net_step=state.net_step + 1
+        )
+        return state, {"outer_loss": loss, "inner_losses": inner_losses}
+
+    def _joint_step(self, state: PSVIState, key):
+        """Single-level step on (net params, u[, v]) (ref ``joint_step``
+        :517-525; optimizer built at :876-882 — z and alpha excluded)."""
+        k_batch, k_eps = jax.random.split(key)
+        xb, yb = self._sample_batch(k_batch)
+        eps = self.net.sample_eps(k_eps, self.mc_samples)
+
+        leaves = {"params": state.params, "u": state.u}
+        if self.spec.learn_v:
+            leaves["v"] = state.v
+
+        def loss_fn(lv):
+            return self._outer_loss(
+                lv["params"], eps, lv["u"], state.z, lv.get("v", state.v),
+                state.alpha, xb, yb,
+            )
+
+        loss, grads = jax.value_and_grad(loss_fn)(leaves)
+        leaves, opt_joint = self.opt_joint.step(leaves, grads, state.opt_joint)
+        state = state._replace(
+            params=leaves["params"], u=leaves["u"],
+            v=leaves.get("v", state.v), opt_joint=opt_joint,
+        )
+        return state, {"outer_loss": loss, "inner_losses": jnp.zeros((1,))}
+
+    def _alternating_step(self, state: PSVIState, key):
+        """Alternate a net step and a u step on the outer objective
+        (ref ``alternating_step`` :527-539)."""
+        k_batch, k1, k2 = jax.random.split(key, 3)
+        xb, yb = self._sample_batch(k_batch)
+
+        eps = self.net.sample_eps(k1, self.mc_samples)
+        loss0, gp = jax.value_and_grad(
+            lambda p: self._outer_loss(p, eps, state.u, state.z, state.v,
+                                       state.alpha, xb, yb)
+        )(state.params)
+        params, opt_net = self.opt_net.step(state.params, gp, state.opt_net)
+
+        eps2 = self.net.sample_eps(k2, self.mc_samples)
+        loss1, gu = jax.value_and_grad(
+            lambda u: self._outer_loss(params, eps2, u, state.z, state.v,
+                                       state.alpha, xb, yb)
+        )(state.u)
+        u, opt_u = self.opt_u.step(state.u, gu, state.opt_u)
+        state = state._replace(params=params, u=u, opt_net=opt_net, opt_u=opt_u)
+        return state, {"outer_loss": loss1, "inner_losses": loss0[None]}
+
+    def _hyper_step(self, state: PSVIState, key):
+        """AID/IFT step: plain inner solve then CG-normal-equations
+        hypergradient (ref ``hyper_step`` :602-687)."""
+        k_batch, k_inner, k_ift, k_outer = jax.random.split(key, 4)
+        xb, yb = self._sample_batch(k_batch)
+        lr_now = self.lr_net_sched(state.net_step)
+        hyper = self._hyper_tree(state)
+
+        # inner solve, not differentiated (ref inner_loop :622-654)
+        paramsT, _, inner_losses = self._run_inner(
+            state.params, state.u, state.z, state.v, state.alpha,
+            k_inner, lr_now,
+        )
+
+        def unpack(h):
+            return (
+                h.get("u", state.u), h.get("z", state.z),
+                h.get("v", state.v), h.get("alpha", state.alpha),
+            )
+
+        def fp_map(p, h, k):
+            # one GD step on the inner loss (ref GradientDescent fp_map)
+            u, z, v, alpha = unpack(h)
+            eps = self.net.sample_eps(k, self.mc_samples)
+            g = jax.grad(self._inner_loss)(p, eps, u, z, v, alpha)
+            return jax.tree_util.tree_map(
+                lambda w, gw: w - self.linsys_lr * gw, p, g
+            )
+
+        eps_outer = self.net.sample_eps(k_outer, self.mc_samples)
+
+        def outer_loss_fn(p, h):
+            u, z, v, alpha = unpack(h)
+            return self._outer_loss(p, eps_outer, u, z, v, alpha, xb, yb)
+
+        if hyper:
+            hg = H.cg_normaleq(
+                fp_map, outer_loss_fn, paramsT, hyper, self.hyper_K, k_ift
+            )
+            state = self._apply_hyper_updates(state, hg.hyper_grads)
+            loss = hg.outer_loss
+        else:
+            loss = outer_loss_fn(paramsT, {})
+
+        state = state._replace(params=paramsT, net_step=state.net_step + 1)
+        return state, {"outer_loss": loss, "inner_losses": inner_losses}
+
+    def _retrain_step(self, state: PSVIState, key):
+        """Net-only step on the inner ELBO (ref retrain loop :996-1003)."""
+        def loss_fn(p):
+            eps = self.net.sample_eps(key, self.mc_samples)
+            return self._inner_loss(p, eps, state.u, state.z, state.v, state.alpha)
+
+        loss, g = jax.value_and_grad(loss_fn)(state.params)
+        params, opt_net = self.opt_net.step(state.params, g, state.opt_net)
+        return state._replace(params=params, opt_net=opt_net), loss
+
+    # ------------------------------------------------------------------
+    # evaluation
+    # ------------------------------------------------------------------
+
+    def _evaluate_fn(self, state: PSVIState, key, correction: bool):
+        """Jitted scan over padded test batches (ref ``evaluate``
+        :1031-1108)."""
+        S = self.mc_samples_eval
+        B = min(self.data_minibatch, int(self.x_test.shape[0]))
+        n_test = int(self.x_test.shape[0])
+        pad = _count_pad(n_test, B)
+        xt = jnp.concatenate([self.x_test, self.x_test[:pad]], axis=0) if pad else self.x_test
+        yt = jnp.concatenate([self.y_test, self.y_test[:pad]], axis=0) if pad else self.y_test
+        mask_full = jnp.concatenate(
+            [jnp.ones((n_test,), jnp.float32), jnp.zeros((pad,), jnp.float32)]
+        )
+        n_batches = (n_test + pad) // B
+        xbs = xt.reshape((n_batches, B) + xt.shape[1:])
+        ybs = yt.reshape(n_batches, B)
+        masks = mask_full.reshape(n_batches, B)
+        cw, fv = self._core_weights(state.v, state.alpha)
+
+        def body(carry, inp):
+            xb, yb, m, k = inp
+            corrects, nll_sum, total = carry
+            eps = self.net.sample_eps(k, S)
+            all_x = jnp.concatenate([state.u, xb], axis=0)
+            all_logits = self.net.apply(state.params, eps, all_x)
+            M = state.u.shape[0]
+            lw = E.importance_log_weights(
+                self.net, state.params, eps, state.u, state.z, cw,
+                likelihood=self.likelihood, learn_z=self._learn_z_kldiv,
+                nc=self.nc, tau=self.tau, pseudo_out=all_logits[:, :M],
+            )
+            probs, weights = E.predictive_mixture(
+                all_logits[:, M:], lw, correction=correction
+            )
+            pred = jnp.argmax(probs, axis=-1).astype(jnp.float32)
+            corrects += jnp.sum((pred == yb) * m)
+            p_true = jnp.take_along_axis(
+                probs, yb.astype(jnp.int32)[:, None], axis=-1
+            )[:, 0]
+            nll_sum += -jnp.sum(jnp.log(jnp.clip(p_true, 1e-38)) * m)
+            total += jnp.sum(m)
+            return (corrects, nll_sum, total), weights
+
+        keys = jax.random.split(key, n_batches)
+        (corrects, nll_sum, total), weights_all = jax.lax.scan(
+            body, (0.0, 0.0, 0.0), (xbs, ybs, masks, keys)
+        )
+        weights = weights_all[-1]  # diagnostics from last batch (ref :1085)
+        iw_ent, ness, vent = E.iw_diagnostics(weights, fv, self.num_pseudo)
+        return corrects / total, nll_sum / total, iw_ent, ness, vent
+
+    # ------------------------------------------------------------------
+    # compiled entry points
+    # ------------------------------------------------------------------
+
+    def _compile(self):
+        steps = {
+            "nested": self._nested_step,
+            "joint": self._joint_step,
+            "alternating": self._alternating_step,
+            "hyper": self._hyper_step,
+        }
+        if self.spec.evaluate_only:
+            step = self._nested_step  # PSVIEvaluate: net-only nested (:1909-1934)
+        else:
+            step = steps[self.trainer]
+        self._step = jax.jit(step, donate_argnums=(0,))
+        self._eval = jax.jit(partial(self._evaluate_fn, correction=True))
+        self._eval_nocorr = jax.jit(partial(self._evaluate_fn, correction=False))
+        self._retrain = jax.jit(self._retrain_step, donate_argnums=(0,))
+
+    def weight_reset(self):
+        """Reinitialize variational network parameters (ref :1110-1128)."""
+        self.key, k = jax.random.split(self.key)
+        params = self.net.init(k)
+        self.state = self.state._replace(
+            params=params,
+            opt_net=self.opt_net.init(params),
+        )
+
+    # ------------------------------------------------------------------
+    # lifecycle: prune / increment
+    # ------------------------------------------------------------------
+
+    def prune_coreset(self, to_size: int):
+        """Multinomial down-sampling of the coreset by f(v) (ref :1177-1192).
+        Shapes change → jitted fns rebuilt."""
+        self.key, k = jax.random.split(self.key)
+        _, fv = self._core_weights(self.state.v, self.state.alpha)
+        keep = jax.random.choice(
+            k, self.num_pseudo, (to_size,), replace=False, p=fv / jnp.sum(fv)
+        )
+        self.num_pseudo = to_size
+        v = jnp.zeros((to_size,), jnp.float32)
+        u = self.state.u[keep]
+        z = self.state.z[keep]
+        self.state = self.state._replace(
+            u=u, z=z, v=v,
+            opt_u=self.opt_u.init(u), opt_v=self.opt_v.init(v),
+            opt_z=self.opt_z.init(z),
+            opt_net=self.opt_net.init(self.state.params),
+        )
+        self._compile()
+
+    def increment_coreset(self, to_size: int, new_class: int, increment_idx: int):
+        """Grow the coreset for a new class (ref :1194-1217)."""
+        self.key, k1 = jax.random.split(self.key)
+        M_old = int(self.state.v.shape[0])
+        n_extra = to_size - M_old
+        v = jnp.concatenate(
+            [self.state.v,
+             (jnp.sum(self.state.v) / to_size) * jnp.ones((n_extra,))]
+        )
+        x_np, y_np = np.asarray(self.x_train), np.asarray(self.y_train)
+        rng = np.random.default_rng(self.seed + increment_idx)
+        if self.init_args == "random":
+            mean = x_np.mean(axis=0, keepdims=True)
+            new_u = jnp.asarray(
+                mean + rng.standard_normal((n_extra,) + x_np.shape[1:]).astype(np.float32)
+            )
+            new_z = jnp.full((n_extra,), float(new_class))
+        else:
+            cls_idx = np.where(y_np == new_class)[0]
+            take = rng.choice(cls_idx, size=n_extra, replace=len(cls_idx) < n_extra)
+            new_u = jnp.asarray(x_np[take])
+            new_z = jnp.asarray(y_np[take])
+        u = jnp.concatenate([self.state.u, new_u], axis=0)
+        z = jnp.concatenate([self.state.z, new_z], axis=0)
+        self.num_pseudo = to_size
+        self.state = self.state._replace(
+            u=u, z=z, v=v,
+            opt_u=self.opt_u.init(u), opt_v=self.opt_v.init(v),
+            opt_z=self.opt_z.init(z),
+            opt_alpha=self.opt_alpha.init(self.state.alpha),
+            opt_net=self.opt_net.init(self.state.params),
+        )
+        self._compile()
+
+    def _advance_increment_task(self, increment_idx: int):
+        """Swap in the grown train/test sets augmented with coreset replay
+        samples (ref :946-965)."""
+        self.key, k = jax.random.split(self.key)
+        _, fv = self._core_weights(self.state.v, self.state.alpha)
+        n_rep = self.train_data_so_far
+        samples = jax.random.choice(
+            k, self.state.u.shape[0], (n_rep,), replace=True,
+            p=fv / jnp.sum(fv),
+        )
+        rep_u = np.asarray(self.state.u[samples])
+        rep_z = np.asarray(self.state.z[samples])
+        fx, fy = self._full_xy
+        new_cls = increment_idx + 1
+        tr_mask = np.asarray(fy) == new_cls
+        x_new = np.concatenate([fx[tr_mask], rep_u])
+        y_new = np.concatenate([fy[tr_mask], rep_z])
+        self.x_train, self.y_train = jnp.asarray(x_new), jnp.asarray(y_new)
+        ftx, fty = self._full_xy_test
+        te_mask = np.isin(fty, list(range(new_cls + 1)))
+        self.x_test, self.y_test = (
+            jnp.asarray(ftx[te_mask]), jnp.asarray(fty[te_mask]),
+        )
+        self.n_train_now = int(self.x_train.shape[0])
+        self.train_data_so_far = self.n_train_now
+        self.data_minibatch = min(self.data_minibatch, self.n_train_now)
+        self._compile()
+
+    # ------------------------------------------------------------------
+    # run loop
+    # ------------------------------------------------------------------
+
+    def run_psvi(self, **kwargs) -> dict:
+        (nlls, accs, csizes, iws_ent, nesses, vs_ent, us, zs, vs, grid_preds,
+         times) = ([], [], [], [], [], [], [], [], [], [], [0.0])
+        if self.spec.learn_alpha:
+            self.results.setdefault("alpha", [])
+
+        log_resource = LogResource()
+        t_start = time.time()
+        prune_idx, increment_idx = 0, 0
+
+        for it in range(self.num_epochs):
+            self.key, k_step, k_eval = jax.random.split(self.key, 3)
+
+            if it % self.log_every == 0:
+                acc, nll, iw_ent, ness, vent = self._eval(self.state, k_eval)
+                acc = float(acc)
+                nlls.append(float(nll))
+                accs.append(acc)
+                csizes.append(self.num_pseudo)
+                times.append(times[-1] + time.time() - t_start)
+                _, fv = self._core_weights(self.state.v, self.state.alpha)
+                vs.append(np.asarray(fv))
+                if self.compute_weights_entropy:
+                    iws_ent.append(float(iw_ent))
+                    vs_ent.append(float(vent))
+                nesses.append(float(ness))
+                if self.spec.learn_alpha:
+                    self.results["alpha"].append(np.asarray(self.state.alpha))
+                if self.log_pseudodata:
+                    us.append(np.asarray(self.state.u))
+                    zs.append(np.asarray(self.state.z))
+                    if self.D == 2:
+                        grid_preds.append(self.pred_on_grid())
+
+            if self.reset and it % self.reset_interval == 0:
+                self.weight_reset()
+
+            self.state, aux = self._step(self.state, k_step)
+            if self.register_elbos:
+                self.elbos.append((0, -float(aux["outer_loss"])))
+            log_resource.update()
+
+            if (
+                self.prune and it > 0 and self.prune_interval
+                and it % self.prune_interval == 0
+                and prune_idx < len(self.prune_sizes)
+            ):
+                self.prune_coreset(self.prune_sizes[prune_idx])
+                prune_idx += 1
+                self.weight_reset()
+
+            if (
+                self.increment and it > 0 and self.increment_interval
+                and it % self.increment_interval == 0
+                and increment_idx < len(self.increment_sizes) - 1
+            ):
+                increment_idx += 1
+                self.nc += 1
+                self._build_model()
+                self.weight_reset()
+                self.increment_coreset(
+                    self.increment_sizes[increment_idx],
+                    new_class=increment_idx + 1, increment_idx=increment_idx,
+                )
+                self._advance_increment_task(increment_idx)
+
+        if self.retrain_on_coreset:
+            # re-fit variational params on the extracted coreset (:967-1003)
+            self.weight_reset()
+            for it in range(self.num_epochs):
+                self.key, k_step, k_eval = jax.random.split(self.key, 3)
+                if it % self.log_every == 0:
+                    acc, nll, iw_ent, ness, vent = self._eval_nocorr(
+                        self.state, k_eval
+                    )
+                    nlls.append(float(nll))
+                    accs.append(float(acc))
+                    csizes.append(self.num_pseudo)
+                    times.append(times[-1] + time.time() - t_start)
+                    _, fv = self._core_weights(self.state.v, self.state.alpha)
+                    vs.append(np.asarray(fv))
+                self.state, loss = self._retrain(self.state, k_step)
+
+        resources = log_resource.get_resources()
+        self.results.update(
+            accs=accs, nlls=nlls, csizes=csizes, times=times[1:],
+            elbos=self.elbos, went=iws_ent, ness=nesses, vent=vs_ent, vs=vs,
+            avg_epoch_time=resources["time"], gpu_memory=resources["memory"],
+            chosen_indices=self.chosen_indices,
+        )
+        if self.log_pseudodata:
+            self.results.update(us=us, zs=zs, grid_preds=grid_preds)
+        return self.results
+
+    def pred_on_grid(self, n_test_per_dim: int = 250, correction: bool = True):
+        """Predictive probabilities over a 2-D grid (ref :1130-1175)."""
+        x0 = jnp.linspace(-3, 4, n_test_per_dim)
+        x1 = jnp.linspace(-2, 3, n_test_per_dim)
+        g0, g1 = jnp.meshgrid(x0, x1, indexing="ij")
+        grid = jnp.stack([g0.reshape(-1), g1.reshape(-1)], axis=-1)
+        self.key, k = jax.random.split(self.key)
+        eps = self.net.sample_eps(k, self.mc_samples_eval)
+        state = self.state
+        cw, _ = self._core_weights(state.v, state.alpha)
+        all_x = jnp.concatenate([state.u, grid], axis=0)
+        logits = self.net.apply(state.params, eps, all_x)
+        M = state.u.shape[0]
+        lw = E.importance_log_weights(
+            self.net, state.params, eps, state.u, state.z, cw,
+            likelihood=self.likelihood, learn_z=self._learn_z_kldiv,
+            nc=self.nc, tau=self.tau, pseudo_out=logits[:, :M],
+        )
+        probs, _ = E.predictive_mixture(logits[:, M:], lw, correction=correction)
+        return np.asarray(probs).T
+
+
+class PSVIRegressor(PSVI):
+    """Regression PSVI (ref ``PSVI_regressor`` and subclasses,
+    ``psvi_classes.py:1940-2335``): Gaussian likelihood with precision tau,
+    subsample init from (x, y) pairs, RMSE / predictive-LL evaluation with
+    target de-normalization."""
+
+    likelihood = "gaussian"
+
+    def _init_pseudodata(self, key):
+        # random subsample of (x, y) pairs (ref :2019-2031)
+        rng = np.random.default_rng(self.seed)
+        idx = rng.choice(self.n_train_now, size=self.num_pseudo, replace=False)
+        u = self.x_train[jnp.asarray(idx)]
+        z = self.y_train[jnp.asarray(idx)].reshape(-1)
+        return u, z
+
+    def _evaluate_fn(self, state: PSVIState, key, correction: bool = True):
+        """RMSE + predictive LL with de-normalized targets (ref :2221-2264)."""
+        S = self.mc_samples_eval
+        y_mean, y_std = self.data.y_mean, self.data.y_std
+        cw, fv = self._core_weights(state.v, state.alpha)
+        eps = self.net.sample_eps(key, S)
+        all_x = jnp.concatenate([state.u, self.x_test], axis=0)
+        out = self.net.apply(state.params, eps, all_x).squeeze(-1)
+        M = state.u.shape[0]
+        lw = E.importance_log_weights(
+            self.net, state.params, eps, state.u, state.z, cw,
+            likelihood="gaussian", nc=self.nc, tau=self.tau,
+            pseudo_out=out[:, :M],
+        )
+        weights = jax.nn.softmax(lw, axis=0)
+        test_out = out[:, M:] * y_std + y_mean  # revert_norm (ref :2226-2227)
+        y_pred = jnp.einsum("sn,s->n", test_out, weights)
+        yt = self.y_test.reshape(-1)
+        rmse = jnp.sqrt(jnp.mean(jnp.square(y_pred - yt)))
+        scale = 1.0 / jnp.sqrt(jnp.float32(self.tau))
+        ll = jnp.mean(
+            -0.5 * jnp.square((yt - y_pred) / scale)
+            - jnp.log(scale) - 0.5 * jnp.log(2 * jnp.pi)
+        )
+        iw_ent, ness, vent = E.iw_diagnostics(weights, fv, self.num_pseudo)
+        return rmse, ll, iw_ent, ness, vent
+
+    def run_psvi(self, **kwargs) -> dict:
+        (lls, rmses, csizes, vs, times) = ([], [], [], [], [0.0])
+        t_start = time.time()
+        for it in range(self.num_epochs):
+            self.key, k_step, k_eval = jax.random.split(self.key, 3)
+            if it % self.log_every == 0:
+                rmse, ll, *_ = self._eval(self.state, k_eval)
+                rmses.append(float(rmse))
+                lls.append(float(ll))
+                csizes.append(self.num_pseudo)
+                times.append(times[-1] + time.time() - t_start)
+                _, fv = self._core_weights(self.state.v, self.state.alpha)
+                vs.append(np.asarray(fv))
+            self.state, aux = self._step(self.state, k_step)
+        self.results.update(
+            rmses=rmses, lls=lls, csizes=csizes, times=times[1:], vs=vs,
+            went=[], ness=[], vent=[],
+        )
+        return self.results
+
+
+def run_psvi(data: DataBundle, method: str = "psvi_learn_v", **kwargs) -> dict:
+    """Functional entry: build the right engine for `method` and run it
+    (the analog of ``inf_dict`` dispatch, ref psvi_experiments.py:402-458)."""
+    spec = METHOD_SPECS[method]
+    cls = PSVIRegressor if spec.regressor else PSVI
+    engine = cls(data, method=method, **kwargs)
+    return engine.run_psvi()

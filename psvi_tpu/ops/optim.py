@@ -46,8 +46,10 @@ def adam(
     """torch.optim.Adam-equivalent, as a pure pytree-to-pytree step."""
 
     def init(params):
-        zeros = jax.tree_util.tree_map(jnp.zeros_like, params)
-        return AdamState(jnp.zeros((), jnp.int32), zeros, zeros)
+        # two independent zero trees: donation requires distinct buffers
+        mu = jax.tree_util.tree_map(jnp.zeros_like, params)
+        nu = jax.tree_util.tree_map(jnp.zeros_like, params)
+        return AdamState(jnp.zeros((), jnp.int32), mu, nu)
 
     def step(params, grads, state: AdamState, lr_now: Optional[jnp.ndarray] = None):
         lr_t = lr if lr_now is None else lr_now
