@@ -661,7 +661,12 @@ class PSVI:
             [self.state.v,
              (jnp.sum(self.state.v) / to_size) * jnp.ones((n_extra,))]
         )
-        x_np, y_np = np.asarray(self.x_train), np.asarray(self.y_train)
+        # sample new-class points from the incoming task's data
+        # (ref :1211-1215: incremental_train_datasets[increment_idx])
+        if self.increment and hasattr(self, "_full_xy"):
+            x_np, y_np = self._full_xy
+        else:
+            x_np, y_np = np.asarray(self.x_train), np.asarray(self.y_train)
         rng = np.random.default_rng(self.seed + increment_idx)
         if self.init_args == "random":
             mean = x_np.mean(axis=0, keepdims=True)

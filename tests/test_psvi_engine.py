@@ -1,0 +1,151 @@
+"""End-to-end engine tests: convergence on halfmoon, all trainers/variants,
+lifecycle features (reset/prune/increment/retrain)."""
+
+import numpy as np
+import pytest
+
+import jax
+
+from psvi_tpu.data import read_dataset, read_regression_dataset
+from psvi_tpu.inference import run_psvi
+from psvi_tpu.inference.psvi import PSVI
+from psvi_tpu.utils.config import METHOD_SPECS
+
+
+@pytest.fixture(scope="module")
+def halfmoon():
+    return read_dataset("halfmoon")
+
+
+def _quick(data, method="psvi_learn_v", **kw):
+    kw.setdefault("num_pseudo", 10)
+    kw.setdefault("mc_samples", 4)
+    kw.setdefault("architecture", "logistic_regression")
+    kw.setdefault("inner_it", 5)
+    kw.setdefault("num_epochs", 11)
+    kw.setdefault("data_minibatch", 64)
+    kw.setdefault("log_every", 5)
+    kw.setdefault("init_sd", 1e-3)
+    return run_psvi(data, method=method, **kw)
+
+
+def test_halfmoon_convergence(halfmoon):
+    """PR-1 config: accuracy well above chance, NLL decreasing."""
+    res = _quick(
+        halfmoon, num_epochs=41, inner_it=10, lr0u=1e-2, lr0v=1e-1,
+        log_every=20,
+    )
+    assert res["accs"][-1] > 0.80
+    assert res["nlls"][-1] < res["nlls"][0]
+    assert len(res["times"]) == len(res["accs"])
+    # results-dict schema parity (ref psvi_classes.py:1009-1027)
+    for k in ["accs", "nlls", "csizes", "times", "went", "ness", "vent", "vs",
+              "avg_epoch_time", "gpu_memory", "chosen_indices"]:
+        assert k in res
+
+
+@pytest.mark.parametrize("trainer", ["nested", "joint", "alternating", "hyper"])
+def test_trainers_run(halfmoon, trainer):
+    res = _quick(halfmoon, trainer=trainer, hyper_K=3)
+    assert len(res["accs"]) == 3
+    assert all(np.isfinite(res["nlls"]))
+
+
+@pytest.mark.parametrize(
+    "method",
+    [m for m, s in METHOD_SPECS.items() if not s.regressor and not s.evaluate_only],
+)
+def test_method_variants_run(halfmoon, method):
+    res = _quick(halfmoon, method=method)
+    assert all(np.isfinite(res["accs"]))
+    assert res["accs"][-1] > 0.4  # above chance-ish after a few steps
+
+
+def test_learn_z_runs(halfmoon):
+    res = _quick(halfmoon, learn_z=True, num_epochs=6)
+    assert all(np.isfinite(res["accs"]))
+
+
+def test_bnn_fn_architecture(halfmoon):
+    res = _quick(
+        halfmoon, method="psvi_alpha_v", architecture="fn", n_hidden=20,
+        num_epochs=16,
+    )
+    assert all(np.isfinite(res["accs"]))
+
+
+def test_fullcov_fn2_architecture(halfmoon):
+    res = _quick(
+        halfmoon, method="psvi_alpha_v", architecture="fn2", n_hidden=8,
+        num_epochs=6, mc_samples=4,
+    )
+    assert all(np.isfinite(res["accs"]))
+
+
+def test_reset_and_retrain(halfmoon):
+    res = _quick(halfmoon, reset=True, reset_interval=5,
+                 retrain_on_coreset=True, num_epochs=6)
+    # retrain doubles the eval series
+    assert len(res["accs"]) == 4
+
+
+def test_prune(halfmoon):
+    eng = PSVI(
+        halfmoon, method="psvi_learn_v", num_pseudo=10, mc_samples=4,
+        architecture="logistic_regression", inner_it=3, num_epochs=12,
+        data_minibatch=64, log_every=6, init_sd=1e-3,
+        prune=True, prune_interval=5, prune_sizes=(5,),
+    )
+    res = eng.run_psvi()
+    assert eng.num_pseudo == 5
+    assert eng.state.u.shape[0] == 5
+    assert all(np.isfinite(res["accs"]))
+
+
+def test_increment():
+    data = read_dataset("four_blobs")
+    eng = PSVI(
+        data, method="psvi_learn_v", num_pseudo=6, mc_samples=4,
+        architecture="logistic_regression", inner_it=3, num_epochs=16,
+        data_minibatch=64, log_every=8, init_sd=1e-3,
+        increment=True, increment_interval=5, increment_sizes=(6, 9, 12),
+    )
+    res = eng.run_psvi()
+    assert eng.nc == 4
+    assert eng.state.u.shape[0] == 12
+    assert all(np.isfinite(res["accs"]))
+
+
+def test_truncated_nested(halfmoon):
+    res = _quick(halfmoon, truncated=True, truncated_K=2, inner_it=5)
+    assert all(np.isfinite(res["accs"]))
+
+
+def test_regressor_sinus():
+    rdata = read_regression_dataset("sinus")
+    res = run_psvi(
+        rdata, method="psvi_alpha_v_regressor", num_pseudo=10, mc_samples=4,
+        architecture="regressor_net", n_hidden=20, inner_it=5, num_epochs=21,
+        data_minibatch=64, log_every=10, init_sd=1e-3, tau=1.0,
+    )
+    assert res["rmses"][-1] < res["rmses"][0]
+    assert all(np.isfinite(res["lls"]))
+
+
+def test_pred_on_grid(halfmoon):
+    eng = PSVI(
+        halfmoon, method="psvi_learn_v", num_pseudo=10, mc_samples=4,
+        architecture="logistic_regression", inner_it=3, num_epochs=3,
+        data_minibatch=64, log_every=2, init_sd=1e-3,
+    )
+    eng.run_psvi()
+    grid = eng.pred_on_grid(n_test_per_dim=10)
+    assert grid.shape == (2, 100)
+    np.testing.assert_allclose(grid.sum(0), 1.0, atol=1e-4)
+
+
+def test_deterministic_same_seed(halfmoon):
+    r1 = _quick(halfmoon, seed=3, num_epochs=6)
+    r2 = _quick(halfmoon, seed=3, num_epochs=6)
+    np.testing.assert_allclose(r1["accs"], r2["accs"])
+    np.testing.assert_allclose(r1["nlls"], r2["nlls"])
