@@ -1,0 +1,730 @@
+"""Classic coreset / VI baselines.
+
+TPU-native re-designs of ``psvi/inference/baselines.py`` (1957 LoC of torch).
+The sequential greedy loops stay host-side (they are inherently O(num_epochs)
+small-scalar decisions); every numeric kernel — MAP Laplace fits, per-sample
+log-likelihood matrices, residual correlations, MFVI ELBO steps — is jitted
+JAX running on the accelerator.
+
+Methods (surface parity with ``inf_dict``, ref psvi_experiments.py:402-458):
+- ``run_random``                (ref baselines.py:118-203)
+- ``run_giga``                  (ref :207-423, Campbell & Broderick 2018)
+- ``run_sparsevi``              (ref :426-648, Campbell & Beronov 2019)
+- ``run_opsvi``                 (ref :652-821, Manousakas et al 2020)
+- ``run_mfvi`` / ``run_mfvi_subset``           (ref :824-1062)
+- ``run_mfvi_regressor`` / ``run_mfvi_subset_regressor`` / ``fit`` (ref :1066-1346)
+- ``run_kmeans``                (ref :1348-1423)
+- ``run_el2n_coreset``          (ref :1427-1510)
+"""
+
+from __future__ import annotations
+
+import time
+from functools import partial
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from psvi_tpu.data.datasets import DataBundle
+from psvi_tpu.models import logreg as LR
+from psvi_tpu.models.frequentist import RunFrequentistModel
+from psvi_tpu.models.networks import set_up_model
+from psvi_tpu.ops import elbo as E
+from psvi_tpu.ops import optim as O
+from psvi_tpu.ops.kmeans import KmeansCluster
+
+
+def _aug(x):
+    """Append the bias column of ones (ref baselines.py:146-147)."""
+    return jnp.concatenate([x, jnp.ones((x.shape[0], 1), x.dtype)], axis=1)
+
+
+def _eval_laplace(key, x_core, y_core, w_core, xt_aug, yt, inner_it,
+                  mc_samples, lr0net):
+    if x_core.shape[0] == 0:
+        # empty coreset: prior samples
+        samples = jax.random.normal(key, (mc_samples, xt_aug.shape[1]))
+        probs = LR.logreg_forward(samples, xt_aug)
+        acc = jnp.mean((probs > 0.5).astype(jnp.float32) == yt)
+        p = jnp.clip(jnp.where(yt > 0.5, probs, 1 - probs), 1e-38)
+        return float(acc), float(-jnp.mean(jnp.log(p)))
+    acc, nll = LR.evaluate_coreset_laplace(
+        key, x_core, y_core, w_core, xt_aug, yt,
+        inner_it=inner_it, mc_samples=mc_samples, lr0net=lr0net,
+    )
+    return float(acc), float(nll)
+
+
+def run_random(
+    x=None, y=None, xt=None, yt=None, mc_samples=4, num_epochs=100,
+    log_every=10, N=None, D=None, seed=0, lr0net=1e-3, **kwargs,
+) -> Dict[str, Any]:
+    """Grow a random coreset; evaluate via Laplace (ref :118-203)."""
+    rng = np.random.default_rng(seed)
+    key = jax.random.PRNGKey(seed)
+    x, y, xt, yt = map(jnp.asarray, (x, y, xt, yt))
+    x_aug, xt_aug = _aug(x), _aug(xt)
+    w = np.zeros(N, np.float32)
+    core_idcs: list = []
+    accs, nlls, csizes, times = [], [], [], [0.0]
+    log_idcs, log_wts = [], []
+    t0 = time.time()
+    for it in range(num_epochs):
+        if it % log_every == 0:
+            key, k = jax.random.split(key)
+            acc, nll = _eval_laplace(
+                k, x_aug[jnp.asarray(core_idcs, jnp.int32)], y[jnp.asarray(core_idcs, jnp.int32)],
+                jnp.asarray(w[core_idcs]), xt_aug, yt, 1000, mc_samples, lr0net,
+            )
+            times.append(times[-1] + time.time() - t0)
+            accs.append(acc), nlls.append(nll), csizes.append(len(core_idcs))
+            log_idcs.append(list(core_idcs)), log_wts.append(w.tolist())
+        remaining = np.setdiff1d(np.arange(N), np.asarray(core_idcs, int))
+        core_idcs.append(int(rng.choice(remaining)))
+        w[core_idcs] = N / len(core_idcs)
+    return {
+        "accs": accs, "nlls": nlls, "csizes": csizes, "times": times[1:],
+        "wt_index": _process_wt_index(log_idcs, log_wts),
+    }
+
+
+def _process_wt_index(log_idcs, log_wts):
+    """Final-iteration {index: weight} map (ref inference/utils.py:180-192)."""
+    if not log_idcs:
+        return {}
+    idcs, wts = log_idcs[-1], log_wts[-1]
+    return {int(i): float(wts[int(i)]) for i in idcs}
+
+
+@partial(jax.jit, static_argnames=())
+def _centered_lls(thetas, x_aug, y):
+    """(N, S) per-sample lls, centered across samples (ref :316-323)."""
+    ll = LR.bernoulli_ll_multi(thetas, x_aug, y)
+    return ll - ll.mean(axis=1, keepdims=True)
+
+
+def run_giga(
+    x=None, y=None, xt=None, yt=None, mc_samples=100, data_minibatch=512,
+    num_epochs=100, log_every=10, N=None, D=None, seed=0, subset_size=200,
+    lr0net=1e-3, **kwargs,
+) -> Dict[str, Any]:
+    """GIGA coreset: geodesic greedy selection with closed-form weights on
+    normalized log-likelihood vectors (ref :207-423)."""
+    rng = np.random.default_rng(seed)
+    key = jax.random.PRNGKey(seed)
+    S = max(mc_samples, 50)  # (ref :227-230)
+    x, y, xt, yt = map(jnp.asarray, (x, y, xt, yt))
+    x_aug, xt_aug = _aug(x), _aug(xt)
+    w = np.zeros(N, np.float32)
+
+    # posterior approx on a random subset, computed once (ref :350-374)
+    sub_idcs = rng.integers(0, N, size=subset_size)
+    sum_scaling = N / data_minibatch
+    key, k = jax.random.split(key)
+    param_samples = LR.run_laplace(
+        k, x_aug[jnp.asarray(sub_idcs)], y[jnp.asarray(sub_idcs)],
+        sum_scaling * jnp.ones(subset_size),
+        inner_it=1000, mc_samples=S, lr0net=lr0net,
+    )
+
+    def normalize(v, axis):
+        n = jnp.linalg.norm(v, axis=axis, keepdims=True)
+        return v / jnp.where(n == 0, 1.0, n)
+
+    lw = jnp.zeros(S)
+    core_idcs: list = []
+    accs, nlls, csizes, times = [], [], [], [0.0]
+    t0 = time.time()
+    norm_ll_core = jnp.zeros((0, S))
+    for it in range(num_epochs):
+        core_arr = jnp.asarray(core_idcs, jnp.int32)
+        sub_idcs = rng.integers(0, N, size=data_minibatch)
+        sub_arr = jnp.asarray(sub_idcs)
+        ll_data = _centered_lls(param_samples, x_aug[sub_arr], y[sub_arr])
+        ll_core = _centered_lls(param_samples, x_aug[core_arr], y[core_arr])
+        sum_lls = ll_data.sum(axis=0)
+        norm_lls = normalize(ll_data, 1)
+        norm_sumlls = normalize(sum_lls, 0).reshape(-1)
+
+        if it % log_every == 0:
+            key, k = jax.random.split(key)
+            acc, nll = _eval_laplace(
+                k, x_aug[core_arr], y[core_arr], jnp.asarray(w[core_idcs]),
+                xt_aug, yt, 100, S, lr0net,
+            )
+            times.append(times[-1] + time.time() - t0)
+            accs.append(acc), nlls.append(nll)
+            csizes.append(int((w > 0).sum()))
+
+            # geodesic direction & greedy pick (ref :382-398)
+            d = normalize(norm_sumlls - jnp.dot(norm_sumlls, lw) * lw, 0)
+            proj = jnp.einsum("ns,s->n", norm_lls, lw)
+            dns = normalize(norm_lls - proj[:, None] * lw[None, :], 1)
+            pick = int(jnp.argmax(dns @ d))
+            pt_idx = int(sub_idcs[pick])
+            if pt_idx not in core_idcs:
+                core_idcs.append(pt_idx)
+                idx_new = -1
+                core_arr = jnp.asarray(core_idcs, jnp.int32)
+                ll_core = _centered_lls(
+                    param_samples, x_aug[core_arr], y[core_arr]
+                )
+            else:
+                idx_new = core_idcs.index(pt_idx)
+            norm_ll_core = normalize(ll_core, 1)
+            nlc = norm_ll_core[idx_new]
+            zeta0 = jnp.dot(norm_sumlls, nlc)
+            zeta1 = jnp.dot(norm_sumlls, lw)
+            zeta2 = jnp.dot(nlc, lw)
+            gamma = (zeta0 - zeta1 * zeta2) / (
+                zeta0 - zeta1 * zeta2 + zeta1 - zeta0 * zeta2
+            )
+            lw_unnorm = (1 - gamma) * lw + gamma * nlc
+            lw = normalize(lw_unnorm, 0).reshape(-1)
+            onehot = np.zeros(N, np.float32)
+            onehot[pt_idx] = 1.0
+            w = np.maximum(
+                ((1 - float(gamma)) * w + float(gamma) * onehot)
+                / float(jnp.linalg.norm(lw_unnorm)),
+                0.0,
+            )
+    return {"accs": accs, "nlls": nlls, "csizes": csizes, "times": times[1:]}
+
+
+def run_sparsevi(
+    x=None, y=None, xt=None, yt=None, mc_samples=4, data_minibatch=128,
+    num_epochs=100, log_every=10, N=None, D=None, diagonal=True,
+    inner_it=10, outer_it=10, lr0net=1e-3, lr0v=1e-1, seed=0, **kwargs,
+) -> Dict[str, Any]:
+    """Sparse VI (ref :426-648): Laplace coreset posterior, greedy
+    residual-correlation selection, projected Adam on weights."""
+    rng = np.random.default_rng(seed)
+    key = jax.random.PRNGKey(seed)
+    outer_it = min(outer_it, 500)
+    x, y, xt, yt = map(jnp.asarray, (x, y, xt, yt))
+    x_aug, xt_aug = _aug(x), _aug(xt)
+    w = jnp.zeros(N)
+    opt_w = O.adam(lr0v)
+    opt_w_state = opt_w.init(w)
+
+    accs, nlls, csizes, times = [], [], [], [0.0]
+    log_idcs, log_wts = [], []
+    core_idcs: list = []
+    t0 = time.time()
+
+    @jax.jit
+    def _select_stats(k, x_core, y_core, w_core, sub_x, sub_y):
+        samples = LR.run_laplace(
+            k, x_core, y_core, w_core, inner_it=inner_it,
+            mc_samples=mc_samples, lr0net=lr0net,
+        )
+        cll_data = _centered_lls(samples, sub_x, sub_y)
+        cll_core = _centered_lls(samples, x_core, y_core)
+        resid = (N / data_minibatch) * cll_data.sum(axis=0) - w_core @ cll_core
+        S = cll_data.shape[1]
+        corrs = (cll_data @ resid) / jnp.sqrt(
+            jnp.sum(cll_data**2, axis=1)
+        ) / S
+        corecorrs = jnp.abs(cll_core @ resid) / jnp.sqrt(
+            jnp.sum(cll_core**2, axis=1)
+        ) / S
+        return corrs, corecorrs
+
+    @jax.jit
+    def _w_grad(k, x_core, y_core, w_core, sub_x, sub_y):
+        samples = LR.run_laplace(
+            k, x_core, y_core, w_core, inner_it=inner_it,
+            mc_samples=mc_samples, lr0net=lr0net,
+        )
+        cll_data = _centered_lls(samples, sub_x, sub_y)
+        cll_core = _centered_lls(samples, x_core, y_core)
+        resid = (N / data_minibatch) * cll_data.sum(axis=0) - w_core @ cll_core
+        return -(cll_core @ resid) / cll_core.shape[1]
+
+    for it in range(num_epochs):
+        core_arr = jnp.asarray(core_idcs, jnp.int32)
+        if it % log_every == 0:
+            key, k = jax.random.split(key)
+            acc, nll = _eval_laplace(
+                k, x_aug[core_arr], y[core_arr], w[core_arr], xt_aug, yt,
+                1000, mc_samples, lr0net,
+            )
+            times.append(times[-1] + time.time() - t0)
+            accs.append(acc), nlls.append(nll), csizes.append(len(core_idcs))
+            log_idcs.append(list(core_idcs))
+            log_wts.append(np.asarray(w).tolist())
+
+        # greedy selection (ref :521-581)
+        sub_idcs = rng.integers(0, N, size=data_minibatch)
+        sub_arr = jnp.asarray(sub_idcs)
+        key, k = jax.random.split(key)
+        if len(core_idcs) == 0:
+            # no coreset yet: pick the max-correlation data point
+            samples = LR.run_laplace(
+                k, x_aug[:1], y[:1], jnp.zeros(1), inner_it=inner_it,
+                mc_samples=mc_samples, lr0net=lr0net,
+            )
+            cll_data = _centered_lls(samples, x_aug[sub_arr], y[sub_arr])
+            resid = (N / data_minibatch) * cll_data.sum(axis=0)
+            corrs = (cll_data @ resid) / jnp.sqrt(
+                jnp.sum(cll_data**2, axis=1)
+            ) / cll_data.shape[1]
+            core_idcs.append(int(sub_idcs[int(jnp.argmax(corrs))]))
+        else:
+            corrs, corecorrs = _select_stats(
+                k, x_aug[core_arr], y[core_arr], w[core_arr],
+                x_aug[sub_arr], y[sub_arr],
+            )
+            if float(corrs.max()) > float(corecorrs.max()):
+                pt = int(sub_idcs[int(jnp.argmax(corrs))])
+                if pt not in core_idcs:
+                    core_idcs.append(pt)
+
+        # projected weight updates (ref :585-638)
+        core_arr = jnp.asarray(core_idcs, jnp.int32)
+        for _ in range(outer_it):
+            key, k2 = jax.random.split(key)
+            sub_idcs2 = jnp.asarray(rng.integers(0, N, size=data_minibatch))
+            g_core = _w_grad(
+                k2, x_aug[core_arr], y[core_arr], w[core_arr],
+                x_aug[sub_idcs2], y[sub_idcs2],
+            )
+            g_full = jnp.zeros_like(w).at[core_arr].set(g_core)
+            w, opt_w_state = opt_w.step(w, g_full, opt_w_state)
+            w = jnp.maximum(w, 0.0)
+    return {
+        "accs": accs, "nlls": nlls, "csizes": csizes, "times": times[1:],
+        "wt_index": _process_wt_index(log_idcs, log_wts),
+    }
+
+
+def run_opsvi(
+    x=None, y=None, xt=None, yt=None, mc_samples=10, data_minibatch=128,
+    num_epochs=100, log_every=10, N=None, D=None, num_pseudo=10,
+    inner_it=10, lr0net=1e-3, lr0u=1e-3, lr0v=1e-3, init_args="subsample",
+    seed=0, log_pseudodata=False, **kwargs,
+) -> Dict[str, Any]:
+    """Original PSVI (Manousakas et al 2020): fixed-size pseudocoreset with
+    manual gradients for weights and locations (ref :652-821)."""
+    rng = np.random.default_rng(seed)
+    key = jax.random.PRNGKey(seed)
+    x, y, xt, yt = map(jnp.asarray, (x, y, xt, yt))
+    x_aug, xt_aug = _aug(x), _aug(xt)
+
+    # pseudodata init (ref inference/utils.py:33-77)
+    x_np, y_np = np.asarray(x), np.asarray(y)
+    M = num_pseudo
+    if init_args == "random":
+        u0 = x_np.mean() + 0.1 * rng.standard_normal((M, x_np.shape[1]))
+        z0 = np.concatenate([
+            np.full(M // 2, c, np.float32) if c < 1 else
+            np.full(M - M // 2, c, np.float32) for c in range(2)
+        ])
+    else:
+        idx0, idx1 = np.where(y_np == 0)[0], np.where(y_np == 1)[0]
+        m0 = M // 2
+        take0 = rng.choice(idx0, m0, replace=len(idx0) < m0)
+        take1 = rng.choice(idx1, M - m0, replace=len(idx1) < M - m0)
+        u0 = np.concatenate([x_np[take0], x_np[take1]])
+        z0 = np.concatenate([np.zeros(m0), np.ones(M - m0)]).astype(np.float32)
+    u = jnp.asarray(np.concatenate([u0, np.ones((M, 1))], axis=1), jnp.float32)
+    z = jnp.asarray(z0)
+    w = (N / M) * jnp.ones(M)
+
+    opt_u, opt_w = O.adam(lr0u), O.adam(lr0v * N)
+    opt_u_state, opt_w_state = opt_u.init(u), opt_w.init(w)
+
+    accs, nlls, csizes, times = [], [], [], [0.0]
+    us, zs, ws = [], [], []
+    t0 = time.time()
+
+    @jax.jit
+    def _grads(k, u, z, w, sub_x, sub_y):
+        samples = LR.run_laplace(
+            k, u, z, w, inner_it=inner_it, mc_samples=mc_samples, lr0net=lr0net,
+        )
+        def core_resid_fn(u_in):
+            cll_data = _centered_lls(samples, sub_x, sub_y)
+            cll_core = _centered_lls(samples, u_in, z)
+            resid = (N / data_minibatch) * cll_data.sum(axis=0) - w @ cll_core
+            return cll_core, resid
+        cll_core, resid = core_resid_fn(u)
+        S = cll_core.shape[1]
+        w_grad = -(cll_core @ resid) / S
+        # u gradient of  (−w·cll_core)·resid / S  with resid, w detached
+        # (ref :795-803)
+        resid_d = jax.lax.stop_gradient(resid)
+        def u_fn(u_in):
+            cll_core_u = _centered_lls(samples, u_in, z)
+            return jnp.dot(
+                jnp.einsum("m,ms->s", -w, cll_core_u), resid_d
+            ) / S
+        u_grad = jax.grad(u_fn)(u)
+        u_grad = u_grad.at[:, -1].set(0.0)  # zero bias-column grad (ref :804)
+        return w_grad, u_grad
+
+    for it in range(num_epochs):
+        if it % log_every == 0:
+            key, k = jax.random.split(key)
+            acc, nll = _eval_laplace(
+                k, u, z, w, xt_aug, yt, inner_it, mc_samples, lr0net,
+            )
+            times.append(times[-1] + time.time() - t0)
+            accs.append(acc), nlls.append(nll), csizes.append(M)
+            if log_pseudodata:
+                us.append(np.asarray(u)), zs.append(np.asarray(z))
+                ws.append(np.asarray(w))
+        sub_idcs = jnp.asarray(rng.integers(0, N, size=data_minibatch))
+        key, k = jax.random.split(key)
+        w_grad, u_grad = _grads(k, u, z, w, x_aug[sub_idcs], y[sub_idcs])
+        w, opt_w_state = opt_w.step(w, w_grad, opt_w_state)
+        u, opt_u_state = opt_u.step(u, u_grad, opt_u_state)
+        w = jnp.maximum(w, 0.0)
+    out = {"accs": accs, "nlls": nlls, "csizes": csizes, "times": times[1:],
+           "elbos": []}
+    if log_pseudodata:
+        out["us"], out["zs"], out["vs"] = us, zs, ws
+    return out
+
+
+# ----------------------------------------------------------------------
+# MFVI flows (BNN)
+# ----------------------------------------------------------------------
+
+
+class _MFVI:
+    """Shared machinery for mean-field VI fits on a fixed or streamed batch."""
+
+    def __init__(self, data: DataBundle, architecture, n_hidden, nc, mc_samples,
+                 init_sd, lr0net, data_minibatch, seed, n_layers=1):
+        self.data = data
+        self.nc = nc
+        self.mc_samples = mc_samples
+        self.B = min(data_minibatch, data.N)
+        self.net = set_up_model(
+            architecture, data.D, n_hidden, nc, init_sd,
+            n_layers=n_layers, n_channels=data.channels or 1,
+        )
+        self.key = jax.random.PRNGKey(seed)
+        self.key, k = jax.random.split(self.key)
+        self.params = self.net.init(k)
+        self.opt = O.adam(lr0net)
+        self.opt_state = self.opt.init(self.params)
+
+    def elbo_loss(self, params, eps, xb, yb, scale, distr, tau):
+        out = self.net.apply(params, eps, xb)
+        nll = E.nll_fn(distr, False, self.nc, tau)(out, yb)
+        # reference sums over (samples, batch): baselines.py:883-887
+        data_nll = scale * jnp.sum(nll)
+        return data_nll + self.net.kl(params)
+
+
+def run_mfvi(
+    train=None, mc_samples=4, data_minibatch=128, num_epochs=100,
+    log_every=10, N=None, D=None, lr0net=1e-3, mul_fact=2, seed=0,
+    architecture=None, n_hidden=None, nc=2, n_layers=1, init_sd=1e-3,
+    **kwargs,
+) -> Dict[str, Any]:
+    """Mean-field VI on the full training set (ref :824-920)."""
+    data: DataBundle = train
+    m = _MFVI(data, architecture, n_hidden, nc, mc_samples, init_sd,
+              lr0net, data_minibatch, seed, n_layers)
+    x, y = jnp.asarray(data.x), jnp.asarray(data.y)
+    xt, yt = jnp.asarray(data.xt), jnp.asarray(data.yt)
+    n_train = data.N
+
+    @jax.jit
+    def step(params, opt_state, key):
+        kb, ke = jax.random.split(key)
+        idx = jax.random.choice(kb, n_train, (m.B,), replace=False)
+        eps = m.net.sample_eps(ke, mc_samples)
+        loss, g = jax.value_and_grad(m.elbo_loss)(
+            params, eps, x[idx], y[idx], n_train / m.B, "categorical", None
+        )
+        params, opt_state = m.opt.step(params, g, opt_state)
+        return params, opt_state, loss
+
+    @jax.jit
+    def evaluate(params, key):
+        eps = m.net.sample_eps(key, mc_samples)
+        logits = m.net.apply(params, eps, xt).mean(axis=0)  # mean logits (ref :901)
+        pred = jnp.argmax(logits, -1).astype(jnp.float32)
+        acc = jnp.mean(pred == yt)
+        nll = jnp.mean(E.categorical_nll(logits[None], yt)[0])
+        return acc, nll
+
+    accs, nlls, times, elbos = [], [], [0.0], []
+    t0 = time.time()
+    total_iterations = mul_fact * num_epochs
+    for i in range(total_iterations):
+        m.key, ks, ke = jax.random.split(m.key, 3)
+        m.params, m.opt_state, loss = step(m.params, m.opt_state, ks)
+        elbos.append(-float(loss))
+        if i % log_every == 0 or i == total_iterations - 1:
+            acc, nll = evaluate(m.params, ke)
+            times.append(times[-1] + time.time() - t0)
+            accs.append(float(acc)), nlls.append(float(nll))
+    return {"accs": accs, "nlls": nlls, "times": times[1:], "elbos": elbos,
+            "csizes": None}
+
+
+def run_mfvi_subset(
+    train=None, mc_samples=4, data_minibatch=128, num_epochs=100,
+    log_every=10, D=None, lr0net=1e-3, mul_fact=2, seed=0,
+    num_pseudo=100, init_args="subsample", architecture=None, n_hidden=None,
+    nc=2, n_layers=1, init_sd=1e-3, log_pseudodata=False, **kwargs,
+) -> Dict[str, Any]:
+    """MFVI on a fixed size-M class-balanced subset with sum-scaling
+    n_train/M (ref :923-1062) — the PR-1 reference configuration."""
+    data: DataBundle = train
+    m = _MFVI(data, architecture, n_hidden, nc, mc_samples, init_sd,
+              lr0net, data_minibatch, seed, n_layers)
+    rng = np.random.default_rng(seed)
+    x_np, y_np = np.asarray(data.x), np.asarray(data.y)
+
+    # fixed class-balanced batch (ref :961-1005)
+    M = num_pseudo
+    ppc = [M // nc] * nc
+    ppc[-1] = M - sum(ppc[:-1])
+    if init_args == "random":
+        xb = x_np.mean() + 0.1 * rng.standard_normal((M,) + x_np.shape[1:])
+        yb = np.concatenate(
+            [np.full(p, c, np.float32) for c, p in enumerate(ppc)]
+        )
+    else:
+        xs, ys = [], []
+        for c in range(nc):
+            idx = np.where(y_np == c)[0]
+            take = rng.choice(idx, ppc[c], replace=len(idx) < ppc[c])
+            xs.append(x_np[take])
+            ys.append(np.full(ppc[c], c, np.float32))
+        xb, yb = np.concatenate(xs), np.concatenate(ys)
+    xb = jnp.asarray(xb, jnp.float32)
+    yb = jnp.asarray(yb)
+    xt, yt = jnp.asarray(data.xt), jnp.asarray(data.yt)
+    sum_scaling = data.N / M
+
+    @jax.jit
+    def step(params, opt_state, key):
+        eps = m.net.sample_eps(key, mc_samples)
+        loss, g = jax.value_and_grad(m.elbo_loss)(
+            params, eps, xb, yb, sum_scaling, "categorical", None
+        )
+        params, opt_state = m.opt.step(params, g, opt_state)
+        return params, opt_state, loss
+
+    @jax.jit
+    def evaluate(params, key):
+        eps = m.net.sample_eps(key, mc_samples)
+        logits = m.net.apply(params, eps, xt).mean(axis=0)
+        pred = jnp.argmax(logits, -1).astype(jnp.float32)
+        acc = jnp.mean(pred == yt)
+        nll = jnp.mean(E.categorical_nll(logits[None], yt)[0])
+        return acc, nll
+
+    accs, nlls, times, elbos = [], [], [0.0], []
+    t0 = time.time()
+    for i in range(mul_fact * num_epochs):
+        m.key, ks, ke = jax.random.split(m.key, 3)
+        m.params, m.opt_state, loss = step(m.params, m.opt_state, ks)
+        elbos.append(-float(loss))
+        if i % log_every == 0:
+            acc, nll = evaluate(m.params, ke)
+            times.append(times[-1] + time.time() - t0)
+            accs.append(float(acc)), nlls.append(float(nll))
+    out = {"accs": accs, "nlls": nlls, "times": times[1:], "elbos": elbos,
+           "csizes": [num_pseudo] * (mul_fact * num_epochs)}
+    if log_pseudodata:
+        out["us"], out["zs"] = np.asarray(xb), np.asarray(yb)
+        out["vs"] = [sum_scaling] * num_pseudo
+    return out
+
+
+def fit(
+    m: _MFVI, x, y, xp, yp, y_mean, y_std, tau, epochs, log_every=-1,
+    batch_size=None, mc_samples=4,
+) -> Dict[str, Any]:
+    """Fit a mean-field regression BNN, log RMSE/pred-LL (ref :1283-1346).
+    xp/yp: prediction set (validation or test); yp is unnormalized."""
+    n_train = x.shape[0]
+    B = min(batch_size or n_train, n_train)
+
+    @jax.jit
+    def step(params, opt_state, key):
+        kb, ke = jax.random.split(key)
+        idx = jax.random.choice(kb, n_train, (B,), replace=False)
+        eps = m.net.sample_eps(ke, mc_samples)
+        loss, g = jax.value_and_grad(m.elbo_loss)(
+            params, eps, x[idx], y[idx], n_train / B, "gaussian", tau
+        )
+        params, opt_state = m.opt.step(params, g, opt_state)
+        return params, opt_state, loss
+
+    @jax.jit
+    def evaluate(params, key):
+        eps = m.net.sample_eps(key, mc_samples)
+        preds = m.net.apply(params, eps, xp).squeeze(-1)
+        y_pred = (preds * y_std + y_mean).mean(axis=0)
+        ytrue = yp.reshape(-1)
+        rmse = jnp.sqrt(jnp.mean(jnp.square(y_pred - ytrue)))
+        scale = 1.0 / jnp.sqrt(jnp.float32(tau))
+        ll = jnp.mean(
+            -0.5 * jnp.square((ytrue - y_pred) / scale)
+            - jnp.log(scale) - 0.5 * jnp.log(2 * jnp.pi)
+        )
+        return rmse, ll
+
+    lls, rmses, times, elbos = [], [], [0.0], []
+    t0 = time.time()
+    for e in range(epochs):
+        m.key, ks, ke = jax.random.split(m.key, 3)
+        m.params, m.opt_state, loss = step(m.params, m.opt_state, ks)
+        elbos.append(-float(loss))
+        is_ckpt = (e % log_every == 0) if log_every > 0 else (e == epochs - 1)
+        if is_ckpt:
+            rmse, ll = evaluate(m.params, ke)
+            times.append(times[-1] + time.time() - t0)
+            lls.append(float(ll)), rmses.append(float(rmse))
+    return {"rmses": rmses, "lls": lls, "times": times[1:], "elbos": elbos,
+            "scale": 1.0 / np.sqrt(tau)}
+
+
+def run_mfvi_regressor(
+    train=None, mc_samples=4, data_minibatch=128, num_epochs=100,
+    log_every=10, lr0net=1e-3, seed=0, architecture="regressor_net",
+    n_hidden=40, n_layers=1, init_sd=1e-6, model_selection=True, **kwargs,
+) -> Dict[str, Any]:
+    """Regression MFVI with tau grid-search model selection (ref :1066-1169)."""
+    data: DataBundle = train
+    x, y = jnp.asarray(data.x), jnp.asarray(data.y)
+    xv, yv = jnp.asarray(data.xv), jnp.asarray(data.yv)
+    xt, yt = jnp.asarray(data.xt), jnp.asarray(data.yt)
+    bpe = max(1, data.N // data_minibatch)
+    best_tau, best_ll = data.taus[0], -float("inf")
+    if model_selection:
+        for tau in data.taus:
+            m = _MFVI(data, architecture, n_hidden, 1, mc_samples, init_sd,
+                      lr0net, data_minibatch, seed, n_layers)
+            r = fit(m, x, y, xv, yv, data.y_mean, data.y_std, tau,
+                    num_epochs * bpe, log_every=-1,
+                    batch_size=data_minibatch, mc_samples=mc_samples)
+            if r["lls"][-1] > best_ll:
+                best_tau, best_ll = tau, r["lls"][-1]
+    m = _MFVI(data, architecture, n_hidden, 1, mc_samples, init_sd,
+              lr0net, data_minibatch, seed, n_layers)
+    res = fit(m, x, y, xt, yt, data.y_mean, data.y_std, best_tau,
+              num_epochs * bpe, log_every=log_every,
+              batch_size=data_minibatch, mc_samples=mc_samples)
+    res["best_tau"] = best_tau
+    return res
+
+
+def run_mfvi_subset_regressor(
+    train=None, mc_samples=4, data_minibatch=128, num_epochs=100,
+    log_every=10, lr0net=1e-3, seed=0, num_pseudo=100,
+    architecture="regressor_net", n_hidden=40, n_layers=1, init_sd=1e-6,
+    model_selection=False, **kwargs,
+) -> Dict[str, Any]:
+    """Regression MFVI restricted to a random subset (ref :1173-1278)."""
+    data: DataBundle = train
+    rng = np.random.default_rng(seed)
+    idx = rng.choice(data.N, size=min(num_pseudo, data.N), replace=False)
+    xs, ys = jnp.asarray(data.x[idx]), jnp.asarray(data.y[idx])
+    xv, yv = jnp.asarray(data.xv), jnp.asarray(data.yv)
+    xt, yt = jnp.asarray(data.xt), jnp.asarray(data.yt)
+    bpe = max(1, data.N // data_minibatch)
+    best_tau, best_ll = data.taus[0], -float("inf")
+    if model_selection:
+        for tau in data.taus:
+            m = _MFVI(data, architecture, n_hidden, 1, mc_samples, init_sd,
+                      lr0net, data_minibatch, seed, n_layers)
+            r = fit(m, xs, ys, xv, yv, data.y_mean, data.y_std, tau,
+                    num_epochs * bpe, log_every=-1, mc_samples=mc_samples)
+            if r["lls"][-1] > best_ll:
+                best_tau, best_ll = tau, r["lls"][-1]
+    m = _MFVI(data, architecture, n_hidden, 1, mc_samples, init_sd,
+              lr0net, data_minibatch, seed, n_layers)
+    res = fit(m, xs, ys, xt, yt, data.y_mean, data.y_std, best_tau,
+              num_epochs * bpe, log_every=log_every, mc_samples=mc_samples)
+    res["csizes"] = [num_pseudo]
+    res["best_tau"] = best_tau
+    return res
+
+
+# ----------------------------------------------------------------------
+# selection-based logreg baselines
+# ----------------------------------------------------------------------
+
+
+def run_kmeans(
+    x=None, y=None, xt=None, yt=None, num_epochs=100, log_every=10,
+    N=None, D=None, seed=0, lr0net=1e-3, nc=2, mc_samples=4,
+    inner_it=1000, **kwargs,
+) -> Dict[str, Any]:
+    """k-means-selected coreset with Laplace evaluation (ref :1348-1423)."""
+    key = jax.random.PRNGKey(seed)
+    xj, yj = jnp.asarray(x), jnp.asarray(y)
+    x_aug, xt_aug = _aug(xj), _aug(jnp.asarray(xt))
+    ytj = jnp.asarray(yt)
+    w = np.zeros(N, np.float32)
+    cluster = KmeansCluster(np.asarray(x), np.asarray(y), num_classes=nc, seed=seed)
+    accs, nlls, csizes, times = [], [], [], [0.0]
+    log_idcs, log_wts = [], []
+    t0 = time.time()
+    for it in range(num_epochs):
+        if it % log_every == 0:
+            cluster.set_num_clusters(max(it, 2 * nc))
+            cluster.run_kmeans()
+            core_idcs = cluster.get_arbitrary_pts(max(it, 1))
+            core_arr = jnp.asarray(core_idcs, jnp.int32)
+            key, k = jax.random.split(key)
+            acc, nll = _eval_laplace(
+                k, x_aug[core_arr], yj[core_arr], jnp.asarray(w[core_idcs]),
+                xt_aug, ytj, inner_it, mc_samples, lr0net,
+            )
+            if core_idcs:
+                w[core_idcs] = N / len(core_idcs)
+            times.append(times[-1] + time.time() - t0)
+            accs.append(acc), nlls.append(nll), csizes.append(len(core_idcs))
+            log_idcs.append(list(core_idcs)), log_wts.append(w.tolist())
+    return {"accs": accs, "nlls": nlls, "csizes": csizes, "times": times[1:],
+            "wt_index": _process_wt_index(log_idcs, log_wts)}
+
+
+def run_el2n_coreset(
+    x=None, y=None, xt=None, yt=None, num_epochs=100, log_every=10,
+    N=None, D=None, seed=0, lr0net=1e-3, nc=2, mc_samples=4,
+    data_minibatch=128, inner_it=1000, **kwargs,
+) -> Dict[str, Any]:
+    """EL2N-scored coreset from a frequentist pretrain (ref :1427-1510)."""
+    key = jax.random.PRNGKey(seed)
+    xj, yj = jnp.asarray(x), jnp.asarray(y)
+    x_aug, xt_aug = _aug(xj), _aug(jnp.asarray(xt))
+    ytj = jnp.asarray(yt)
+    w = np.zeros(N, np.float32)
+    freq = RunFrequentistModel(
+        x, y, xt, yt, num_classes=nc, is_logreg=True,
+        data_minibatch=data_minibatch, num_epochs=21, seed=seed,
+    )
+    freq.train()
+    accs, nlls, csizes, times = [], [], [], [0.0]
+    log_idcs, log_wts = [], []
+    t0 = time.time()
+    for it in range(num_epochs):
+        if it % log_every == 0:
+            core_idcs = freq.get_largest_el2n_indices(it)
+            core_arr = jnp.asarray(core_idcs, jnp.int32)
+            key, k = jax.random.split(key)
+            acc, nll = _eval_laplace(
+                k, x_aug[core_arr], yj[core_arr], jnp.asarray(w[core_idcs]),
+                xt_aug, ytj, inner_it, mc_samples, lr0net,
+            )
+            if core_idcs:
+                w[core_idcs] = N / len(core_idcs)
+            times.append(times[-1] + time.time() - t0)
+            accs.append(acc), nlls.append(nll), csizes.append(len(core_idcs))
+            log_idcs.append(list(core_idcs)), log_wts.append(w.tolist())
+    return {"accs": accs, "nlls": nlls, "csizes": csizes, "times": times[1:],
+            "wt_index": _process_wt_index(log_idcs, log_wts)}
