@@ -119,6 +119,18 @@ class PSVI:
         truncated_K: int = 5,
         remat_inner: bool = False,
         spec: Optional[MethodSpec] = None,
+        mesh=None,
+        shard_batch: bool = False,
+        mfvi_selection_method: str = "random",
+        pretrain_epochs: int = 5,
+        data_folder: Optional[str] = None,
+        results_folder: Optional[str] = None,
+        load_from_saved: bool = False,
+        dnm: str = "data",
+        multiple_pts_per_cluster: bool = True,
+        alpha_dirichlet: float = 0.0,
+        choose_difficult: bool = True,
+        scoring_run: bool = False,
         **kwargs,
     ):
         self.data = data
@@ -160,9 +172,20 @@ class PSVI:
         self.hyper_K, self.linsys_lr = hyper_K, linsys_lr
         self.truncated, self.truncated_K = truncated, truncated_K
         self.remat_inner = remat_inner
+        self.mfvi_selection_method = mfvi_selection_method
+        self.pretrain_epochs = pretrain_epochs
+        self.data_folder = data_folder
+        self.results_folder = results_folder
+        self.load_from_saved = load_from_saved
+        self.dnm = dnm
+        self.multiple_pts_per_cluster = multiple_pts_per_cluster
+        self.alpha_dirichlet = alpha_dirichlet
+        self.choose_difficult = choose_difficult
+        self.scoring_run = scoring_run
         self.elbos = []
         self.results: dict = {}
         self.chosen_indices: list = []
+        self._custom_v = None
 
         self.key = trial_key(seed, 0)
 
@@ -188,6 +211,21 @@ class PSVI:
 
         self.n_train_now = int(self.x_train.shape[0])
         self.data_minibatch = min(self.data_minibatch, self.n_train_now)
+
+        # optional data-parallel minibatch sharding over a mesh 'data' axis
+        self.mesh = mesh
+        self.batch_shardings = None
+        if mesh is not None and shard_batch:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            nd = self.x_train.ndim
+            self.batch_shardings = (
+                NamedSharding(mesh, P("data", *([None] * (nd - 1)))),
+                NamedSharding(mesh, P("data")),
+            )
+            # round the minibatch down to a multiple of the data-axis size
+            dsize = mesh.shape["data"]
+            self.data_minibatch = max(dsize, (self.data_minibatch // dsize) * dsize)
 
         self._build_model()
         self._init_state()
@@ -224,9 +262,41 @@ class PSVI:
         rng = np.random.default_rng(self.seed)
         ppc = [M // nc] * nc
         ppc[-1] = M - sum(ppc[:-1])
-        if self.init_args in ("subsample", "custom", "saved"):
-            # 'custom'/'saved' fall back to subsample until the selection
-            # subsystem provides chosen indices (wired by CoresetSelect).
+        if self.init_args == "custom":
+            # selection-subsystem init (ref custom_init :310-375): pick by
+            # the configured score method, then RANDOM-normal raw v weights
+            from psvi_tpu.inference.selection import CoresetSelect
+
+            sel = CoresetSelect(
+                x_np, y_np, np.asarray(self.x_test), np.asarray(self.y_test),
+                num_pseudo=M, nc=nc, architecture=self.architecture,
+                D=self.D, n_hidden=self.n_hidden or 100,
+                mc_samples=self.mc_samples, init_sd=self.init_sd,
+                data_minibatch=self.data_minibatch,
+                pretrain_epochs=self.pretrain_epochs,
+                lr0net=self.lrs["net"], seed=self.seed,
+                score_method=self.mfvi_selection_method,
+                data_folder=self.data_folder,
+                load_from_saved=self.load_from_saved, dnm=self.dnm,
+                multiple_pts_per_cluster=self.multiple_pts_per_cluster,
+                alpha_dirichlet=self.alpha_dirichlet,
+                choose_difficult=self.choose_difficult,
+                n_channels=self.data.channels or 1,
+            )
+            idx, xs, zs_np, _ = sel.select_data()
+            self.chosen_indices = idx
+            u = jnp.asarray(xs, jnp.float32)
+            z = jnp.asarray(zs_np, jnp.float32)
+            if self.spec.learn_z and self.likelihood == "categorical":
+                z = jax.nn.one_hot(z.astype(jnp.int32), nc, dtype=jnp.float32)
+            # random-normal raw weights (ref :373-374)
+            self._custom_v = jnp.asarray(
+                rng.standard_normal(M).astype(np.float32)
+            )
+            return u, z
+        if self.init_args in ("subsample", "saved"):
+            # 'saved' falls back to subsample when no stored run is given;
+            # use PSVI.load_saved_coreset to warm-start from results.
             us, zs, idcs = [], [], []
             for c in range(nc):
                 cls_idx = np.where(y_np == c)[0]
@@ -254,6 +324,9 @@ class PSVI:
 
     def _init_v(self):
         M = self.num_pseudo
+        if self._custom_v is not None:
+            # custom selection init: random-normal raw v (ref :373-374)
+            return self._custom_v
         if self.spec.parameterised:
             # PSVILearnV: v = 0 on the softmax parameterization (:1353-1357)
             return jnp.zeros((M,), jnp.float32)
@@ -362,7 +435,14 @@ class PSVI:
         idx = jax.random.choice(
             key, self.n_train_now, (self.data_minibatch,), replace=False
         )
-        return self.x_train[idx], self.y_train[idx]
+        xb, yb = self.x_train[idx], self.y_train[idx]
+        if self.batch_shardings is not None:
+            # data-parallel minibatch: rows sharded over the 'data' mesh axis;
+            # XLA turns the Σ over the batch in data_nll into a psum over ICI
+            sx, sy = self.batch_shardings
+            xb = jax.lax.with_sharding_constraint(xb, sx)
+            yb = jax.lax.with_sharding_constraint(yb, sy)
+        return xb, yb
 
     def _hyper_tree(self, state: PSVIState):
         h = {}
@@ -603,7 +683,9 @@ class PSVI:
     # compiled entry points
     # ------------------------------------------------------------------
 
-    def _compile(self):
+    def _trainer_fn(self):
+        """The un-jitted pure step for this trainer — reused by the
+        trial-parallel runner (``parallel/trials.py``)."""
         steps = {
             "nested": self._nested_step,
             "joint": self._joint_step,
@@ -611,13 +693,63 @@ class PSVI:
             "hyper": self._hyper_step,
         }
         if self.spec.evaluate_only:
-            step = self._nested_step  # PSVIEvaluate: net-only nested (:1909-1934)
-        else:
-            step = steps[self.trainer]
+            return self._nested_step  # PSVIEvaluate: net-only nested (:1909-1934)
+        return steps[self.trainer]
+
+    def _compile(self):
+        step = self._trainer_fn()
         self._step = jax.jit(step, donate_argnums=(0,))
         self._eval = jax.jit(partial(self._evaluate_fn, correction=True))
         self._eval_nocorr = jax.jit(partial(self._evaluate_fn, correction=False))
         self._retrain = jax.jit(self._retrain_step, donate_argnums=(0,))
+
+    def load_saved_coreset(
+        self,
+        subfolder_name: str,
+        dataset: str,
+        method: str,
+        coreset_size: int,
+        trial: int = 0,
+        ablated_weights: bool = True,
+        ablated_alpha: bool = True,
+        ablated_labels: bool = True,
+    ):
+        """Warm-start the coreset from a previously saved run
+        (ref ``custom_init_evaluate`` :377-442 + ``retrieve_results``,
+        ``inference/utils.py:1800-1823``). Ablation flags replace the stored
+        weights / alpha / labels with fresh ones, as the PSVIEvaluate class
+        does (:403-442)."""
+        from psvi_tpu.utils.results import retrieve_results
+
+        d = retrieve_results(
+            self.results_folder or "results", subfolder_name, dataset,
+            method, coreset_size, trial,
+        )
+        rng = np.random.default_rng(self.seed)
+        self.chosen_indices = [int(i) for i in d["chosen_indices"]]
+        x_np = np.asarray(self.x_train)
+        y_np = np.asarray(self.y_train)
+        u = jnp.asarray(x_np[self.chosen_indices])
+        if ablated_labels or d["labels"] is None:
+            z = jnp.asarray(y_np[self.chosen_indices])
+        else:
+            z = jnp.asarray(d["labels"])
+        if self.spec.learn_z and self.likelihood == "categorical" and z.ndim == 1:
+            z = jax.nn.one_hot(z.astype(jnp.int32), self.nc, dtype=jnp.float32)
+        if ablated_weights or d["weights"] is None:
+            v = jnp.asarray(rng.standard_normal(self.num_pseudo).astype(np.float32))
+        else:
+            v = jnp.asarray(d["weights"], jnp.float32)
+        alpha = (
+            jnp.zeros((1,), jnp.float32)
+            if ablated_alpha
+            else jnp.asarray(np.atleast_1d(d["alpha"]), jnp.float32)
+        )
+        self.state = self.state._replace(
+            u=u, z=z, v=v, alpha=alpha,
+            opt_u=self.opt_u.init(u), opt_v=self.opt_v.init(v),
+            opt_z=self.opt_z.init(z), opt_alpha=self.opt_alpha.init(alpha),
+        )
 
     def weight_reset(self):
         """Reinitialize variational network parameters (ref :1110-1128)."""
