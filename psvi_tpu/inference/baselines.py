@@ -91,11 +91,12 @@ def run_random(
 
 
 def _process_wt_index(log_idcs, log_wts):
-    """Final-iteration {index: weight} map (ref inference/utils.py:180-192)."""
-    if not log_idcs:
-        return {}
-    idcs, wts = log_idcs[-1], log_wts[-1]
-    return {int(i): float(wts[int(i)]) for i in idcs}
+    """Per-logged-iteration {index: weight} maps
+    (ref inference/utils.py:180-192)."""
+    out = []
+    for idcs, wts in zip(log_idcs, log_wts):
+        out.append({int(i): float(wts[int(i)]) for i in idcs})
+    return out
 
 
 @partial(jax.jit, static_argnames=())
@@ -728,3 +729,175 @@ def run_el2n_coreset(
             log_idcs.append(list(core_idcs)), log_wts.append(w.tolist())
     return {"accs": accs, "nlls": nlls, "csizes": csizes, "times": times[1:],
             "wt_index": _process_wt_index(log_idcs, log_wts)}
+
+
+# ----------------------------------------------------------------------
+# selection + MFVI flows (ref baselines.py:1515-1952)
+# ----------------------------------------------------------------------
+
+
+class MfviSelect:
+    """Select a coreset by a scoring method, then fit MFVI on the weighted
+    subset (ref ``MfviSelect``, baselines.py:1515-1727)."""
+
+    def __init__(self, train=None, data_minibatch=128, num_pseudo=100, nc=2,
+                 architecture="logistic_regression", D=None, n_hidden=100,
+                 mc_samples=4, init_sd=1e-3, lr0net=1e-3, num_epochs=100,
+                 log_every=10, seed=0, mul_fact=2, log_pseudodata=False,
+                 score_method="kmeans", pretrain_epochs=5, data_folder=None,
+                 load_from_saved=False, distance_fn="euclidean",
+                 last_layer_only=False, dnm=None, **kw):
+        self.data: DataBundle = train
+        self.num_pseudo, self.nc = num_pseudo, nc
+        self.architecture, self.D, self.n_hidden = architecture, D or train.D, n_hidden
+        self.mc_samples, self.init_sd = mc_samples, init_sd
+        self.lr0net, self.num_epochs = lr0net, num_epochs
+        self.log_every, self.seed, self.mul_fact = log_every, seed, mul_fact
+        self.log_pseudodata = log_pseudodata
+        self.score_method = score_method
+        self.pretrain_epochs = pretrain_epochs
+        self.data_folder, self.load_from_saved = data_folder, load_from_saved
+        self.distance_fn, self.last_layer_only = distance_fn, last_layer_only
+        self.dnm = dnm
+        self.data_minibatch = data_minibatch
+        self.wt_index = {}
+        self._m = _MFVI(self.data, architecture, n_hidden, nc, mc_samples,
+                        init_sd, lr0net, data_minibatch, seed)
+
+    def select_data(self):
+        from psvi_tpu.inference.selection import CoresetSelect
+
+        sel = CoresetSelect(
+            self.data.x, self.data.y, self.data.xt, self.data.yt,
+            num_pseudo=self.num_pseudo, nc=self.nc,
+            architecture=self.architecture, D=self.D, n_hidden=self.n_hidden,
+            mc_samples=self.mc_samples, init_sd=self.init_sd,
+            data_minibatch=self.data_minibatch,
+            pretrain_epochs=self.pretrain_epochs, lr0net=self.lr0net,
+            seed=self.seed, score_method=self.score_method,
+            data_folder=self.data_folder,
+            load_from_saved=self.load_from_saved, dnm=self.dnm,
+            distance_fn=self.distance_fn,
+            last_layer_only=self.last_layer_only,
+            n_channels=self.data.channels or 1,
+        )
+        idx, xs, ys, wts = sel.select_data()
+        self.chosen = (idx, jnp.asarray(xs, jnp.float32),
+                       jnp.asarray(ys), jnp.asarray(wts))
+        self.wt_index = sel.wt_index
+
+    def _test(self, key):
+        m = self._m
+        xt, yt = jnp.asarray(self.data.xt), jnp.asarray(self.data.yt)
+        eps = m.net.sample_eps(key, self.mc_samples)
+        logits = m.net.apply(m.params, eps, xt).mean(axis=0)
+        pred = jnp.argmax(logits, -1).astype(jnp.float32)
+        acc = float(jnp.mean(pred == yt))
+        nll = float(jnp.mean(E.categorical_nll(logits[None], yt)[0]))
+        return acc, nll
+
+    def evaluate_coreset(self) -> Dict[str, Any]:
+        """Weighted-subset MFVI fit: loss = −Σ_m w_m Σ_s ll[s,m] + KL
+        (ref :1693-1700: ``wts.dot(log_prob.sum(0))``)."""
+        m = self._m
+        idx, xs, ys, wts = self.chosen
+
+        @jax.jit
+        def step(params, opt_state, key):
+            eps = m.net.sample_eps(key, self.mc_samples)
+
+            def loss_fn(p):
+                out = m.net.apply(p, eps, xs)
+                ll = -E.categorical_nll(out, ys)  # (S, M)
+                return -jnp.dot(wts, jnp.sum(ll, axis=0)) + m.net.kl(p)
+
+            loss, g = jax.value_and_grad(loss_fn)(params)
+            params, opt_state = m.opt.step(params, g, opt_state)
+            return params, opt_state, loss
+
+        accs, nlls, elbos = [], [], []
+        total = self.mul_fact * self.num_epochs
+        for i in range(total):
+            m.key, ks, ke = jax.random.split(m.key, 3)
+            m.params, m.opt_state, loss = step(m.params, m.opt_state, ks)
+            elbos.append(-float(loss))
+            if i % self.log_every == 0:
+                acc, nll = self._test(ke)
+                accs.append(acc), nlls.append(nll)
+        results = {
+            "accs": accs, "nlls": nlls, "times": 0, "elbos": elbos,
+            "csizes": [self.num_pseudo] * total, "wt_index": self.wt_index,
+        }
+        if self.log_pseudodata:
+            results["us"], results["zs"] = np.asarray(xs), np.asarray(ys)
+            results["vs"] = np.asarray(wts).tolist()
+        return results
+
+
+class IncrementalMfviSelect(MfviSelect):
+    """Start from a 20-point kmeans coreset, then add one point per step by
+    entropy score under the evolving net (ref :1730-1852)."""
+
+    def select_data(self):
+        from psvi_tpu.inference.selection import (
+            KmeansSelection, RandomIncrementalSelection,
+        )
+
+        min_pts = 20
+        init_sel = KmeansSelection(
+            self.data.x, self.data.y, min_pts, self.nc, self.seed,
+            embedding_flag=(self.architecture == "lenet"),
+        )
+        init_sel.pretrain(
+            self.data.xt, self.data.yt, self.architecture, self.D,
+            self.n_hidden, self.mc_samples, self.init_sd,
+            self.data_minibatch, self.pretrain_epochs, self.lr0net,
+            self.data_folder, self.load_from_saved, self.dnm,
+            n_channels=self.data.channels or 1,
+        )
+        idx, xs, ys, wts = init_sel.get_weighted_subset()
+        self.chosen = (idx, jnp.asarray(xs, jnp.float32),
+                       jnp.asarray(ys), jnp.asarray(wts))
+        self.evaluate_coreset()
+        core_idc = list(idx)
+
+        inc = RandomIncrementalSelection(
+            self.data.x, self.data.y, self.num_pseudo, self.nc, self.seed,
+            score_type="entropy",
+        )
+        orig_epochs = self.num_epochs
+        for _ in range(min_pts + 1, self.num_pseudo):
+            inc.update_current_state(core_idc, _NetShim(self._m, self.mc_samples))
+            ii, xs, ys, wts = inc.get_weighted_subset()
+            self.chosen = (ii, jnp.asarray(xs, jnp.float32),
+                           jnp.asarray(ys), jnp.asarray(wts))
+            core_idc = list(ii)
+            self.num_epochs = 10
+            self.evaluate_coreset()
+        self.num_epochs = orig_epochs
+        self.wt_index = {str(k): float(v) for k, v in zip(core_idc, np.asarray(wts))}
+
+
+class _NetShim:
+    """Adapter exposing (net, params, mc_samples) of the evolving MFVI fit
+    as a `pretrained_vi` for score computation."""
+
+    def __init__(self, m: "_MFVI", mc_samples):
+        self.net = m.net
+        self.params = m.params
+        self.mc_samples = mc_samples
+        self.forgetting_events = None
+
+
+def run_selection_with_mfvi(
+    train=None, mfvi_selection_method="kmeans", **kwargs,
+) -> Dict[str, Any]:
+    """Dispatcher (ref baselines.py:1855-1952)."""
+    cls = (
+        IncrementalMfviSelect
+        if mfvi_selection_method == "incremental"
+        else MfviSelect
+    )
+    sel = cls(train=train, score_method=mfvi_selection_method, **kwargs)
+    sel.select_data()
+    return sel.evaluate_coreset()

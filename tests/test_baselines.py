@@ -23,7 +23,9 @@ def test_run_random_grows_and_learns(kw):
     r = B.run_random(**kw)
     assert r["csizes"] == [0, 10, 20]
     assert r["accs"][-1] > 0.6
-    assert len(r["wt_index"]) == 20
+    # wt_index: one {idx: weight} dict per logged iteration (ref
+    # process_wt_index, inference/utils.py:180-192)
+    assert len(r["wt_index"][-1]) == 20
 
 
 def test_run_giga(kw):
