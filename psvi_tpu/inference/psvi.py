@@ -29,6 +29,7 @@ retraining on the extracted coreset (:967-1003).
 from __future__ import annotations
 
 import dataclasses
+import os
 import time
 from functools import partial
 from typing import Any, NamedTuple, Optional
@@ -703,6 +704,22 @@ class PSVI:
         self._eval_nocorr = jax.jit(partial(self._evaluate_fn, correction=False))
         self._retrain = jax.jit(self._retrain_step, donate_argnums=(0,))
 
+    def save_checkpoint(self, path: str):
+        """Checkpoint the full engine state (params, pseudodata, optimizer
+        moments, scheduler counter, PRNG key) for bit-exact resume — a
+        capability the reference lacks (SURVEY.md §5: no mid-training
+        resume)."""
+        from psvi_tpu.utils.checkpoint import save_state
+
+        save_state(path, self.state, extra={"key": np.asarray(self.key)})
+
+    def load_checkpoint(self, path: str):
+        from psvi_tpu.utils.checkpoint import load_state
+
+        self.state, extra = load_state(path, self.state)
+        if "key" in extra:
+            self.key = jnp.asarray(extra["key"])
+
     def load_saved_coreset(
         self,
         subfolder_name: str,
@@ -867,6 +884,7 @@ class PSVI:
 
         for it in range(self.num_epochs):
             self.key, k_step, k_eval = jax.random.split(self.key, 3)
+            self._forgetting_calculator(jax.random.fold_in(k_eval, 0xF0))
 
             if it % self.log_every == 0:
                 acc, nll, iw_ent, ness, vent = self._eval(self.state, k_eval)
@@ -875,8 +893,8 @@ class PSVI:
                 accs.append(acc)
                 csizes.append(self.num_pseudo)
                 times.append(times[-1] + time.time() - t_start)
-                _, fv = self._core_weights(self.state.v, self.state.alpha)
-                vs.append(np.asarray(fv))
+                # raw v logged during training (ref :917); f(v) in retrain (:989)
+                vs.append(np.asarray(self.state.v))
                 if self.compute_weights_entropy:
                     iws_ent.append(float(iw_ent))
                     vs_ent.append(float(vent))
@@ -939,6 +957,8 @@ class PSVI:
                 self.state, loss = self._retrain(self.state, k_step)
 
         resources = log_resource.get_resources()
+        self.key, k_score = jax.random.split(self.key)
+        self._do_scoring(k_score)
         self.results.update(
             accs=accs, nlls=nlls, csizes=csizes, times=times[1:],
             elbos=self.elbos, went=iws_ent, ness=nesses, vent=vs_ent, vs=vs,
@@ -948,6 +968,97 @@ class PSVI:
         if self.log_pseudodata:
             self.results.update(us=us, zs=zs, grid_preds=grid_preds)
         return self.results
+
+    # ------------------------------------------------------------------
+    # data-difficulty scoring subsystem (ref :1219-1339)
+    # ------------------------------------------------------------------
+
+    def _train_set_mean_probs(self, key, batch=1024):
+        """MC-mean softmax probabilities over the (ordered) train set."""
+        S = self.mc_samples_eval
+        x = self.x_train
+        n = int(x.shape[0])
+        out = []
+        for i in range(0, n, batch):
+            eps = self.net.sample_eps(jax.random.fold_in(key, i), S)
+            logits = self.net.apply(self.state.params, eps, x[i:i + batch])
+            out.append(np.asarray(jax.nn.softmax(logits.mean(axis=0), axis=-1)))
+        return np.concatenate(out, axis=0)
+
+    def _forgetting_calculator(self, key):
+        """Per-iteration forgetting-event tracking over the train set
+        (ref ``_forgetting_calculator`` :1277-1306). Only active for
+        scoring runs."""
+        if not self.scoring_run:
+            return
+        if not hasattr(self, "forgetting_events"):
+            n = self.n_train_now
+            self.forgetting_events = np.zeros(n, np.float32)
+            self.last_acc = np.zeros(n, np.float32)
+            self.never_learnt = np.ones(n, np.float32)
+        probs = self._train_set_mean_probs(key)
+        curr_acc = (
+            probs.argmax(-1) == np.asarray(self.y_train).astype(int)
+        ).astype(np.float32)
+        self.forgetting_events[self.last_acc > curr_acc] += 1
+        self.last_acc = curr_acc
+        self.never_learnt = np.minimum(self.never_learnt, 1.0 - curr_acc)
+
+    def _do_scoring(self, key):
+        """Final EL2N/entropy/least-confidence/forgetting scores → CSV
+        (ref ``_do_scoring`` :1219-1274)."""
+        if not self.scoring_run:
+            return
+        import pandas as pd
+
+        probs = self._train_set_mean_probs(key)
+        y = np.asarray(self.y_train).astype(int)
+        onehot = np.eye(self.nc, dtype=np.float32)[y]
+        p_eps = probs + 1e-20
+        entropy = -(probs * np.log(p_eps)).sum(1)
+        least_conf = 1.0 - probs.max(1)
+        el2n = np.linalg.norm(probs - onehot, axis=1)
+        self.forgetting_events = np.maximum(
+            self.num_epochs * self.never_learnt, self.forgetting_events
+        )
+        df = pd.DataFrame({
+            "el2n": el2n,
+            "forgetting": self.forgetting_events,
+            "entropy": entropy,
+            "least_confidence": least_conf,
+        })
+        os.makedirs(self.data_folder or ".", exist_ok=True)
+        df.to_csv(
+            os.path.join(self.data_folder or ".",
+                         f"score_psvi_{self.dnm}_{self.seed}.csv"),
+            index=False, header=True,
+        )
+        self._save_embeddings()
+
+    def _save_embeddings(self, batch=1024):
+        """Penultimate-layer embeddings summed over the S axis → CSV
+        (ref ``_get_embeddings`` :1308-1339)."""
+        S = self.mc_samples_eval
+        x = self.x_train
+        n = int(x.shape[0])
+        rows = []
+        for i in range(0, n, batch):
+            eps = self.net.sample_eps(
+                jax.random.fold_in(self.key, 0xE2B + i), S
+            )
+            xb = x[i:i + batch]
+            h = jnp.broadcast_to(xb[None], (S,) + xb.shape)
+            for layer, p, e in zip(
+                self.net.layers[:-1], self.state.params[:-1], eps[:-1]
+            ):
+                h = layer.apply(p, e, h)
+            rows.append(np.asarray(h.sum(axis=0)))
+        emb = np.concatenate(rows, axis=0)
+        np.savetxt(
+            os.path.join(self.data_folder or ".",
+                         f"embedding_{self.dnm}_{self.seed}.csv"),
+            emb, delimiter=",",
+        )
 
     def pred_on_grid(self, n_test_per_dim: int = 250, correction: bool = True):
         """Predictive probabilities over a 2-D grid (ref :1130-1175)."""

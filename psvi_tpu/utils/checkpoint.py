@@ -1,0 +1,50 @@
+"""Full-state checkpointing.
+
+The reference has NO mid-training resume — only three ad-hoc mechanisms
+(pretrained-net state_dicts, score CSVs, whole-run results-pickle warm
+starts; SURVEY.md §5). Here the ENTIRE ``PSVIState`` pytree (variational
+params, pseudodata, weights, all optimizer moments, scheduler counter) is
+checkpointed, so a run resumes bit-exactly mid-training.
+
+Format: a single .npz of the flattened leaves + an iteration/key sidecar;
+restore rebuilds onto the treedef of a freshly initialized engine with the
+same static config.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def save_state(path: str, state: Any, extra: dict = None):
+    leaves, _ = jax.tree_util.tree_flatten(state)
+    arrays = {f"leaf_{i}": np.asarray(l) for i, l in enumerate(leaves)}
+    if extra:
+        for k, v in extra.items():
+            arrays[f"extra_{k}"] = np.asarray(v)
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    np.savez(path, **arrays)
+
+
+def load_state(path: str, template: Any):
+    """Restore into the pytree structure of `template`."""
+    d = np.load(path)
+    leaves, treedef = jax.tree_util.tree_flatten(template)
+    new_leaves = []
+    for i, leaf in enumerate(leaves):
+        arr = d[f"leaf_{i}"]
+        if arr.shape != np.asarray(leaf).shape:
+            raise ValueError(
+                f"checkpoint leaf {i} shape {arr.shape} != template "
+                f"{np.asarray(leaf).shape}; config mismatch"
+            )
+        new_leaves.append(jnp.asarray(arr, np.asarray(leaf).dtype))
+    extra = {
+        k[len("extra_"):]: d[k] for k in d.files if k.startswith("extra_")
+    }
+    return jax.tree_util.tree_unflatten(treedef, new_leaves), extra

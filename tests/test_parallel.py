@@ -1,0 +1,86 @@
+"""Multi-device tests on the 8-device virtual CPU mesh: trial sharding,
+batch-DP sharding, and equivalence with single-device execution."""
+
+import numpy as np
+import pytest
+
+import jax
+
+from psvi_tpu.data import read_dataset
+from psvi_tpu.inference.psvi import PSVI
+from psvi_tpu.parallel import TrialParallelPSVI, make_mesh
+
+
+needs_8 = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 virtual devices"
+)
+
+
+@pytest.fixture(scope="module")
+def halfmoon():
+    return read_dataset("halfmoon")
+
+
+@needs_8
+def test_trial_parallel_runs(halfmoon):
+    mesh = make_mesh(trial=8)
+    tp = TrialParallelPSVI(
+        halfmoon, num_trials=8, method="psvi_learn_v", mesh=mesh,
+        num_pseudo=8, mc_samples=4, architecture="logistic_regression",
+        inner_it=3, num_epochs=6, data_minibatch=32, log_every=3,
+        init_sd=1e-3,
+    )
+    res = tp.run()
+    assert len(res) == 8
+    for r in res:
+        assert len(r["accs"]) == 2
+        assert all(np.isfinite(r["accs"]))
+
+
+@needs_8
+def test_trial_parallel_matches_vmap_no_mesh(halfmoon):
+    """Same trials on a 1-device mesh vs 8-device mesh must agree: sharding
+    must not change numerics."""
+    kw = dict(
+        num_trials=4, method="psvi_learn_v", num_pseudo=8, mc_samples=4,
+        architecture="logistic_regression", inner_it=3, num_epochs=4,
+        data_minibatch=32, log_every=2, init_sd=1e-3,
+    )
+    r1 = TrialParallelPSVI(halfmoon, mesh=make_mesh(trial=1), **kw).run()
+    r8 = TrialParallelPSVI(halfmoon, mesh=make_mesh(trial=4), **kw).run()
+    for a, b in zip(r1, r8):
+        np.testing.assert_allclose(a["accs"], b["accs"], atol=1e-5)
+        np.testing.assert_allclose(a["nlls"], b["nlls"], rtol=1e-4)
+
+
+@needs_8
+def test_batch_sharded_step_matches_replicated(halfmoon):
+    """Data-parallel minibatch sharding must match unsharded numerics."""
+    kw = dict(
+        method="psvi_alpha_v", num_pseudo=8, mc_samples=4,
+        architecture="fn", n_hidden=16, inner_it=3, num_epochs=2,
+        data_minibatch=32, log_every=1, init_sd=1e-3, seed=0,
+    )
+    eng0 = PSVI(halfmoon, **kw)
+    mesh = make_mesh(trial=1, data=8)
+    eng1 = PSVI(halfmoon, mesh=mesh, shard_batch=True, **kw)
+    key = jax.random.PRNGKey(5)
+    s0, a0 = eng0._step(eng0.state, key)
+    s1, a1 = eng1._step(eng1.state, key)
+    np.testing.assert_allclose(
+        float(a0["outer_loss"]), float(a1["outer_loss"]), rtol=1e-4
+    )
+
+
+@needs_8
+def test_dryrun_multichip_entry():
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __graft_entry__ as g
+
+    g.dryrun_multichip(8)
+
+    fn, args = g.entry()
+    out = jax.jit(fn)(*args)
+    assert np.isfinite(float(out))
