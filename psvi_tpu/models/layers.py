@@ -107,6 +107,7 @@ class VILinear(Layer):
     prior_sd: float = 1.0
     use_bias: bool = True
     count_kl: bool = True  # dense layers' KL counts (ref psvi_classes.py:479-483)
+    backend: str = "xla"  # 'pallas' = fused sample+matmul kernel (first-order paths)
 
     def init(self, key) -> Params:
         kw, kb = jax.random.split(key)
@@ -140,6 +141,13 @@ class VILinear(Layer):
 
     def apply(self, params, eps, x):
         # x: (S, N, in) ; w: (S, out, in) ; b: (S, out)
+        if self.backend == "pallas" and self.use_bias:
+            from psvi_tpu.ops.pallas_vi import sampled_linear
+
+            return sampled_linear(
+                x, params["mu_w"], params["rho_w"],
+                params["mu_b"], params["rho_b"], eps["w"], eps["b"],
+            )
         w, b = self._theta(params, eps)
         y = jnp.einsum("sni,soi->sno", x, w)
         if b is not None:

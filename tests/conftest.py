@@ -8,18 +8,23 @@ Must run before jax initializes its backends.
 
 import os
 
-os.environ["JAX_PLATFORMS"] = "cpu"  # override axon/TPU for fast unit tests
-xla_flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in xla_flags:
-    os.environ["XLA_FLAGS"] = (
-        xla_flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+# Set PSVI_TPU_TESTS=1 to run the suite on the real TPU (pallas tests etc.);
+# default forces the fast 8-device virtual CPU mesh.
+_use_tpu = os.environ.get("PSVI_TPU_TESTS") == "1"
+if not _use_tpu:
+    os.environ["JAX_PLATFORMS"] = "cpu"  # override axon/TPU for fast unit tests
+    xla_flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in xla_flags:
+        os.environ["XLA_FLAGS"] = (
+            xla_flags + " --xla_force_host_platform_device_count=8"
+        ).strip()
 
 import jax  # noqa: E402
 
-# The axon sitecustomize force-registers jax_platforms="axon,cpu" at
-# interpreter start; flip back to CPU before any backend is initialized.
-jax.config.update("jax_platforms", "cpu")
+if not _use_tpu:
+    # The axon sitecustomize force-registers jax_platforms="axon,cpu" at
+    # interpreter start; flip back to CPU before any backend is initialized.
+    jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
