@@ -85,7 +85,7 @@ class KmeansCluster:
     per-cluster point sampling (ref ``KmeansCluster``, utils.py:455-560)."""
 
     def __init__(self, x, y, num_classes=2, balance=True, seed=0,
-                 dist="euclidean", iters=25):
+                 dist="euclidean", iters=25, backend="jax"):
         if dist not in ("euclidean", "cosine"):
             raise ValueError(f"invalid dist {dist!r}")
         self.x = np.asarray(x, np.float32).reshape(len(x), -1)
@@ -95,8 +95,20 @@ class KmeansCluster:
         self.seed = seed
         self.dist = dist
         self.iters = iters
+        self.backend = backend  # 'jax' (on-device) or 'native' (C++ host)
         self.cluster_members: list = []  # list of lists of global indices
         self.cluster_centers: list = []
+
+    def _fit(self, key, X, k):
+        """Dispatch one k-means fit to the configured backend."""
+        if self.backend == "native":
+            from psvi_tpu import native
+
+            C, labels, _ = native.kmeans_fit(
+                np.asarray(X), k, iters=self.iters, seed=self.seed
+            )
+            return jnp.asarray(C), jnp.asarray(labels)
+        return kmeans_fit(key, jnp.asarray(X), k, self.iters)
 
     def set_num_clusters(self, num_clusters):
         self.num_clusters = num_clusters
@@ -115,7 +127,7 @@ class KmeansCluster:
                 if k == 0:
                     continue
                 key, kc = jax.random.split(key)
-                cents, labels = kmeans_fit(kc, jnp.asarray(X[idx]), k, self.iters)
+                cents, labels = self._fit(kc, X[idx], k)
                 labels = np.asarray(labels)
                 for j in range(k):
                     members = idx[labels == j]
@@ -124,7 +136,7 @@ class KmeansCluster:
                 self.cluster_centers.append(np.asarray(cents))
         else:
             k = self.num_clusters
-            cents, labels = kmeans_fit(key, jnp.asarray(X), k, self.iters)
+            cents, labels = self._fit(key, X, k)
             labels = np.asarray(labels)
             for j in range(k):
                 members = np.where(labels == j)[0]
@@ -167,12 +179,12 @@ class KmeansOnDevice(KmeansCluster):
                     continue
                 key, kc = jax.random.split(key)
                 Xi = jnp.asarray(X[idx])
-                cents, _ = kmeans_fit(kc, Xi, k, self.iters)
+                cents, _ = self._fit(kc, np.asarray(Xi), k)
                 nearest = np.asarray(nearest_index(Xi, cents))
                 centers += list(idx[nearest])
         else:
             k = self.pts_per_class
-            cents, _ = kmeans_fit(key, jnp.asarray(X), k, self.iters)
+            cents, _ = self._fit(key, X, k)
             centers = list(np.asarray(nearest_index(jnp.asarray(X), cents)))
         self.cluster_centers = centers
 
