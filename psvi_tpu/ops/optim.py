@@ -109,6 +109,25 @@ def sgd(lr: float, momentum: float = 0.0) -> Optimizer:
     return Optimizer(init, step)
 
 
+def heavy_ball(lr: float, momentum: float = 0.9) -> Optimizer:
+    """Heavy-ball: p' = p − lr·g + momentum·(p − p_prev)
+    (ref ``hypergrad/diff_optimizers.py:64-79,162-167``)."""
+
+    def init(params):
+        return SGDState(jnp.zeros((), jnp.int32),
+                        jax.tree_util.tree_map(jnp.array, params))
+
+    def step(params, grads, state: SGDState, lr_now: Optional[jnp.ndarray] = None):
+        lr_t = lr if lr_now is None else lr_now
+        new_params = jax.tree_util.tree_map(
+            lambda p, g, prev: p - lr_t * g + momentum * (p - prev),
+            params, grads, state.momentum,
+        )
+        return new_params, SGDState(state.count + 1, params)
+
+    return Optimizer(init, step)
+
+
 def step_lr(lr0: float, step_size: int, gamma: float):
     """StepLR schedule (ref ``psvi_classes.py:864-866``): lr = lr0·γ^⌊t/step⌋."""
 
