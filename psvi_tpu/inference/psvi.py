@@ -700,6 +700,22 @@ class PSVI:
     def _compile(self):
         step = self._trainer_fn()
         self._step = jax.jit(step, donate_argnums=(0,))
+
+        def multi_step(state, key, n_steps: int):
+            """Chain n outer steps in ONE dispatch (lax.scan) — amortizes
+            the per-dispatch latency that dominates small models."""
+            keys = jax.random.split(key, n_steps)
+
+            def body(s, k):
+                s, aux = step(s, k)
+                return s, aux["outer_loss"]
+
+            state, losses = jax.lax.scan(body, state, keys)
+            return state, losses
+
+        self._multi_step = jax.jit(
+            multi_step, static_argnums=(2,), donate_argnums=(0,)
+        )
         self._eval = jax.jit(partial(self._evaluate_fn, correction=True))
         self._eval_nocorr = jax.jit(partial(self._evaluate_fn, correction=False))
         self._retrain = jax.jit(self._retrain_step, donate_argnums=(0,))
@@ -882,7 +898,14 @@ class PSVI:
         t_start = time.time()
         prune_idx, increment_idx = 0, 0
 
-        for it in range(self.num_epochs):
+        # chain outer steps between logging boundaries into one dispatch
+        # when no per-step host-side work is required
+        can_chain = not (
+            self.scoring_run or self.reset or self.prune or self.increment
+        )
+
+        it = 0
+        while it < self.num_epochs:
             self.key, k_step, k_eval = jax.random.split(self.key, 3)
             self._forgetting_calculator(jax.random.fold_in(k_eval, 0xF0))
 
@@ -909,6 +932,21 @@ class PSVI:
 
             if self.reset and it % self.reset_interval == 0:
                 self.weight_reset()
+
+            if can_chain:
+                n = min(
+                    self.log_every - (it % self.log_every) or self.log_every,
+                    self.num_epochs - it,
+                )
+                self.state, losses = self._multi_step(self.state, k_step, n)
+                if self.register_elbos:
+                    self.elbos.extend(
+                        (0, -float(l)) for l in np.asarray(losses)
+                    )
+                for _ in range(n):
+                    log_resource.update()
+                it += n
+                continue
 
             self.state, aux = self._step(self.state, k_step)
             if self.register_elbos:
@@ -938,6 +976,8 @@ class PSVI:
                     new_class=increment_idx + 1, increment_idx=increment_idx,
                 )
                 self._advance_increment_task(increment_idx)
+
+            it += 1
 
         if self.retrain_on_coreset:
             # re-fit variational params on the extracted coreset (:967-1003)

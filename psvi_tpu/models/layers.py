@@ -420,6 +420,18 @@ class MaxPool2d(Layer):
 
     def apply(self, params, eps, x):
         k, s, p = self.kernel_size, self.stride, self.padding
+        if (
+            k == s and p == 0
+            and x.shape[-1] % k == 0 and x.shape[-2] % k == 0
+        ):
+            # Non-overlapping pooling as a reshape+max. reduce_window lowers
+            # to select-and-scatter whose transpose (and double transpose in
+            # the bilevel unroll) is pathologically slow on TPU — this
+            # formulation halves the measured LeNet nested-step time
+            # (148.9 → 72.6 ms on v5e).
+            *lead, H, W = x.shape
+            y = x.reshape(*lead, H // k, k, W // k, k)
+            return jnp.max(y, axis=(-3, -1))
         ndim = x.ndim
         window = (1,) * (ndim - 2) + (k, k)
         strides = (1,) * (ndim - 2) + (s, s)
