@@ -146,24 +146,106 @@ def _read_vision(dnm, data_folder, rng):
 
 
 def _read_binary_benchmark(dnm, data_folder, test_ratio):
-    """phishing/adult/webspam: file-gated (ref downloads at :447-662)."""
+    """phishing/adult/webspam binary logreg benchmarks.
+
+    Full preprocessing parity with the reference when the raw files are on
+    disk (downloads happen at run time in the reference — impossible under
+    zero egress): ``read_adult`` (ref :447-525: standardize numeric
+    features, one-hot categoricals, PCA→10 dims, bias column),
+    ``read_phishing`` (ref :528-542: npz), ``read_webspam`` (ref :544-662:
+    svmlight, [-1,1] scaling, offset feature). A preprocessed
+    ``{dnm}.npz`` shortcut is also accepted.
+    """
     path = os.path.join(data_folder, f"{dnm}.npz")
-    if not os.path.exists(path):
-        raise FileNotFoundError(
-            f"{dnm} requires {path} (keys X, y [, Xt, yt]); the reference "
-            "downloads it at run time which is unavailable here."
-        )
-    d = np.load(path)
-    if "Xt" in d:
-        x, y, xt, yt = d["X"], d["y"], d["Xt"], d["yt"]
-        y, yt = np.where(y == -1, 0, y), np.where(yt == -1, 0, yt)
+    if os.path.exists(path):
+        d = np.load(path)
+        if "Xt" in d:
+            x, y, xt, yt = d["X"], d["y"], d["Xt"], d["yt"]
+            y, yt = np.where(y == -1, 0, y), np.where(yt == -1, 0, yt)
+        else:
+            x, y, xt, yt = _split_train_test(d["X"], d["y"], test_ratio)
+    elif dnm == "adult":
+        x, y, xt, yt = _read_adult_raw(data_folder)
+    elif dnm == "webspam":
+        x, y, xt, yt = _read_webspam_raw(data_folder)
     else:
-        x, y, xt, yt = _split_train_test(d["X"], d["y"], test_ratio)
+        raise FileNotFoundError(
+            f"{dnm} requires {path} (keys X, y [, Xt, yt]) or the raw files "
+            "the reference downloads at run time (unavailable here: zero "
+            "network egress)."
+        )
     N, D = x.shape
     return DataBundle(
-        x.astype(np.float32), y.astype(np.float32),
-        xt.astype(np.float32), yt.astype(np.float32), N, D, 2,
+        np.asarray(x, np.float32), np.asarray(y, np.float32),
+        np.asarray(xt, np.float32), np.asarray(yt, np.float32), N, D, 2,
     )
+
+
+def _read_adult_raw(data_folder):
+    """Adult preprocessing (ref experiments_utils.py:447-525)."""
+    import pandas as pd
+    from sklearn.decomposition import PCA
+    from sklearn.preprocessing import OneHotEncoder, StandardScaler
+
+    columns = [
+        "age", "workClass", "fnlwgt", "education", "education-num",
+        "marital-status", "occupation", "relationship", "race", "sex",
+        "capital-gain", "capital-loss", "hours-per-week", "native-country",
+        "income",
+    ]
+    train_path = os.path.join(data_folder, "adult.data")
+    test_path = os.path.join(data_folder, "adult.test")
+    if not (os.path.exists(train_path) and os.path.exists(test_path)):
+        raise FileNotFoundError(
+            f"adult requires {train_path} and {test_path} (UCI raw files)."
+        )
+    read = lambda p, skip: pd.read_csv(
+        p, names=columns, sep=r" *, *", na_values="?", engine="python",
+        skiprows=skip,
+    ).dropna()
+    train_data, test_data = read(train_path, 0), read(test_path, 1)
+    X, Xt = train_data, test_data
+    Y = np.array([0 if s == "<=50K" else 1 for s in train_data["income"]])
+    Yt = np.array([0 if s == "<=50K." else 1 for s in test_data["income"]])
+    numcols = ["age", "education-num", "capital-gain", "capital-loss",
+               "hours-per-week"]
+    catcols = ["workClass", "marital-status", "occupation", "relationship",
+               "race", "sex", "native-country"]
+    ss = StandardScaler().fit(X[numcols])
+    enc = OneHotEncoder().fit(X[catcols])
+    Xn = np.concatenate(
+        [ss.transform(X[numcols]), enc.transform(X[catcols]).toarray()], axis=1
+    )
+    Xtn = np.concatenate(
+        [ss.transform(Xt[numcols]), enc.transform(Xt[catcols]).toarray()],
+        axis=1,
+    )
+    pca = PCA(n_components=10).fit(Xn)
+    Xn, Xtn = pca.transform(Xn), pca.transform(Xtn)
+    Xn = np.c_[Xn, np.ones(len(Xn))]
+    Xtn = np.c_[Xtn, np.ones(len(Xtn))]
+    return Xn, Y, Xtn, Yt
+
+
+def _read_webspam_raw(data_folder):
+    """Webspam preprocessing (ref :544-662): svmlight, [-1,1] max-abs
+    feature scaling, offset feature, labels → {0,1}."""
+    import sklearn.datasets as skl_ds
+    from sklearn.preprocessing import MaxAbsScaler
+
+    ftr = os.path.join(data_folder, "webspam_train.svm")
+    fte = os.path.join(data_folder, "webspam_test.svm")
+    if not (os.path.exists(ftr) and os.path.exists(fte)):
+        raise FileNotFoundError(f"webspam requires {ftr} and {fte}.")
+    Xtr, ytr = skl_ds.load_svmlight_file(ftr)
+    Xte, yte = skl_ds.load_svmlight_file(fte, n_features=Xtr.shape[1])
+    scaler = MaxAbsScaler().fit(Xtr)
+    Xtr, Xte = scaler.transform(Xtr).toarray(), scaler.transform(Xte).toarray()
+    Xtr = np.c_[Xtr, np.ones(len(ytr))]
+    Xte = np.c_[Xte, np.ones(len(yte))]
+    ytr = np.where(ytr <= 0, 0, 1)
+    yte = np.where(yte <= 0, 0, 1)
+    return Xtr, ytr, Xte, yte
 
 
 def hyperparams_for_regression():
