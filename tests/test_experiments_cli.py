@@ -1,0 +1,49 @@
+"""CLI / experiment-driver smoke tests."""
+
+import numpy as np
+
+from psvi_tpu.experiments import INF_DICT, main
+from psvi_tpu.utils.config import METHOD_SPECS
+
+
+def test_inf_dict_covers_reference_registry():
+    """Method-name parity with the reference inf_dict
+    (psvi_experiments.py:402-458)."""
+    expected = {
+        "psvi", "psvi_ablated", "psvi_learn_v", "psvi_alpha_v", "psvi_no_iw",
+        "psvi_free_v", "psvi_no_rescaling", "psvi_fixed_u",
+        "psvi_alpha_fixed_u", "psvi_evaluate", "psvi_regressor",
+        "psvi_alpha_v_regressor", "psvi_learn_v_regressor", "sparsebbvi",
+        "opsvi", "random", "sparsevi", "giga", "mfvi", "mfvi_subset",
+        "mfvi_regressor", "mfvi_subset_regressor", "el2n", "kmeans",
+        "mfvi_selection",
+    }
+    assert expected <= set(INF_DICT)
+
+
+def test_cli_end_to_end(tmp_path):
+    res = main([
+        "--datasets", "halfmoon", "--methods", "psvi_learn_v",
+        "--coreset_sizes", "10", "--num_trials", "1", "--num_epochs", "6",
+        "--inner_it", "3", "--mc_samples", "4", "--log_every", "3",
+        "--init_sd", "1e-3", "--results_folder", str(tmp_path),
+    ])
+    r = res["halfmoon"]["psvi_learn_v"][10][0]
+    assert len(r["accs"]) == 2
+    assert all(np.isfinite(r["accs"]))
+    # a timestamped folder with results.json was written
+    import os
+
+    subdirs = os.listdir(tmp_path)
+    assert len(subdirs) == 1
+    assert os.path.exists(tmp_path / subdirs[0] / "results.json")
+
+
+def test_cli_baseline_method(tmp_path):
+    res = main([
+        "--datasets", "halfmoon", "--methods", "random",
+        "--num_trials", "1", "--num_epochs", "11", "--log_every", "10",
+        "--mc_samples", "4", "--results_folder", str(tmp_path),
+    ])
+    r = res["halfmoon"]["random"][-1][0]
+    assert r["csizes"] == [0, 10]
