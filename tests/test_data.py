@@ -1,0 +1,71 @@
+"""Data layer tests: registry, split semantics, shapes, normalization."""
+
+import numpy as np
+import pytest
+
+from psvi_tpu.data import read_dataset, read_regression_dataset
+from psvi_tpu.data.datasets import split_data, hyperparams_for_regression
+
+
+def test_halfmoon_split_semantics():
+    d = read_dataset("halfmoon", test_ratio=0.2)
+    assert d.N == 800 and d.xt.shape[0] == 200
+    assert d.D == 2 and d.nc == 2
+    assert set(np.unique(d.y)) == {0.0, 1.0}
+
+
+def test_four_blobs():
+    d = read_dataset("four_blobs")
+    assert d.nc == 4
+    assert d.N + len(d.xt) == 1000
+
+
+def test_synth_lr_dimension_parsing():
+    d = read_dataset("synth_lr_7")
+    assert d.D == 7
+    assert set(np.unique(d.y)) <= {0.0, 1.0}  # −1 labels mapped to 0
+
+
+def test_normal_mvn():
+    d = read_dataset("normal_mvn")
+    assert d.D == 2 and d.nc == 2
+
+
+def test_synth_mnist_shapes():
+    d = read_dataset("synth_mnist")
+    assert d.x.shape[1:] == (1, 28, 28)
+    assert d.channels == 1 and d.nc == 10 and d.D == 784
+
+
+def test_vision_gating_error():
+    with pytest.raises(FileNotFoundError):
+        read_dataset("MNIST", data_folder="/tmp/definitely-missing")
+
+
+def test_split_data_fractions():
+    idx = split_data(100, p_split=(0.6, 0.2, 0.2), seed=0)
+    assert len(idx["train"]) == 60
+    assert len(idx["val"]) == 20
+    assert len(idx["test"]) == 20
+    all_idx = np.concatenate([idx["train"], idx["val"], idx["test"]])
+    assert sorted(all_idx) == list(range(100))
+
+
+def test_split_data_counts():
+    idx = split_data(50, n_split=(30, 10, 10), seed=0)
+    assert len(idx["train"]) == 30 and len(idx["test"]) == 10
+
+
+def test_regression_dataset_normalization():
+    d = read_regression_dataset("sinus", seed=0, num_test=100)
+    # train inputs/targets standardized; test targets unnormalized
+    np.testing.assert_allclose(d.x.mean(), 0.0, atol=1e-5)
+    np.testing.assert_allclose(d.y.std(), 1.0, atol=1e-4)
+    assert abs(float(d.yt.mean())) < 1.0  # sin values, not standardized
+    assert d.xt.shape[0] == 100
+    assert d.taus == tuple(hyperparams_for_regression()["sinus"])
+
+
+def test_unknown_dataset():
+    with pytest.raises(ValueError):
+        read_dataset("nope")

@@ -66,6 +66,24 @@ def test_learn_z_runs(halfmoon):
     assert all(np.isfinite(res["accs"]))
 
 
+def test_psvi_evaluate_method(halfmoon):
+    """PSVIEvaluate: net-only training, everything else frozen
+    (ref psvi_classes.py:1885-1934)."""
+    from psvi_tpu.inference.psvi import PSVI
+
+    eng = PSVI(
+        halfmoon, method="psvi_evaluate", num_pseudo=8, mc_samples=4,
+        architecture="logistic_regression", inner_it=3, num_epochs=6,
+        data_minibatch=64, log_every=3, init_sd=1e-3,
+    )
+    u0, v0 = np.asarray(eng.state.u), np.asarray(eng.state.v)
+    res = eng.run_psvi()
+    assert all(np.isfinite(res["accs"]))
+    # coreset untouched; only the net trained
+    np.testing.assert_array_equal(np.asarray(eng.state.u), u0)
+    np.testing.assert_array_equal(np.asarray(eng.state.v), v0)
+
+
 def test_bnn_fn_architecture(halfmoon):
     res = _quick(
         halfmoon, method="psvi_alpha_v", architecture="fn", n_hidden=20,
