@@ -902,6 +902,7 @@ class PSVI:
         # when no per-step host-side work is required
         can_chain = not (
             self.scoring_run or self.reset or self.prune or self.increment
+            or self.register_elbos  # per-step inner/outer ELBO streams
         )
 
         it = 0
@@ -939,10 +940,6 @@ class PSVI:
                     self.num_epochs - it,
                 )
                 self.state, losses = self._multi_step(self.state, k_step, n)
-                if self.register_elbos:
-                    self.elbos.extend(
-                        (0, -float(l)) for l in np.asarray(losses)
-                    )
                 for _ in range(n):
                     log_resource.update()
                 it += n
@@ -950,7 +947,12 @@ class PSVI:
 
             self.state, aux = self._step(self.state, k_step)
             if self.register_elbos:
-                self.elbos.append((0, -float(aux["outer_loss"])))
+                # stream tags (ref :521-559): 0=outer, 1=inner, 2=joint
+                tag = 2 if self.trainer == "joint" else 0
+                inner = np.asarray(aux["inner_losses"])
+                for j in range(0, inner.shape[0], max(self.log_every, 1)):
+                    self.elbos.append((1, -float(inner[j])))
+                self.elbos.append((tag, -float(aux["outer_loss"])))
             log_resource.update()
 
             if (
