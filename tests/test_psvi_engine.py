@@ -100,6 +100,15 @@ def test_fullcov_fn2_architecture(halfmoon):
     assert all(np.isfinite(res["accs"]))
 
 
+def test_fullcov_fn2_hyper_trainer(halfmoon):
+    """SURVEY §7 stage 4: IFT trainer with the full-covariance net."""
+    res = _quick(
+        halfmoon, method="psvi_alpha_v", architecture="fn2", n_hidden=6,
+        num_epochs=6, mc_samples=4, trainer="hyper", hyper_K=3,
+    )
+    assert all(np.isfinite(res["accs"]))
+
+
 def test_reset_and_retrain(halfmoon):
     res = _quick(halfmoon, reset=True, reset_interval=5,
                  retrain_on_coreset=True, num_epochs=6)
