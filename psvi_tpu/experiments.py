@@ -17,11 +17,9 @@ devices' ``'trial'`` mesh axis.
 from __future__ import annotations
 
 import argparse
-import os
 from collections import defaultdict
 from typing import Any, Dict, List
 
-import numpy as np
 
 from psvi_tpu.data import read_dataset, read_regression_dataset
 from psvi_tpu.inference import baselines as B

@@ -10,7 +10,6 @@ loops stay host-side NumPy exactly like the reference.
 
 from __future__ import annotations
 
-from typing import Callable, List, Optional
 
 import jax.numpy as jnp
 import numpy as np

@@ -8,8 +8,6 @@ compute EL2N scores (Paul et al. 2021) for selection baselines
 
 from __future__ import annotations
 
-from functools import partial
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

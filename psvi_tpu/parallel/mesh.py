@@ -12,7 +12,6 @@ shard over ``'mc'``. No process pool, no pickling, no NCCL analog — just
 
 from __future__ import annotations
 
-from typing import Optional
 
 import numpy as np
 

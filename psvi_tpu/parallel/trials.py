@@ -11,7 +11,6 @@ are bitwise identical however many devices participate.
 from __future__ import annotations
 
 import time
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -9,7 +9,7 @@ reference flags one-for-one so configs translate directly. The CLI in
 from __future__ import annotations
 
 import dataclasses
-from typing import List, Optional, Tuple
+from typing import Optional, Tuple
 
 
 @dataclasses.dataclass
