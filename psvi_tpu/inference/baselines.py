@@ -234,15 +234,17 @@ def run_sparsevi(
         return corrs, corecorrs
 
     @jax.jit
-    def _w_grad(k, x_core, y_core, w_core, sub_x, sub_y):
-        samples = LR.run_laplace(
-            k, x_core, y_core, w_core, inner_it=inner_it,
+    def _w_grad(k, theta, x_core, y_core, w_core, sub_x, sub_y):
+        # MAP continuation: ref creates theta once per epoch and the
+        # outer_it weight loop keeps refining it (baselines.py:588-604)
+        samples, theta = LR.run_laplace_from(
+            k, theta, x_core, y_core, w_core, inner_it=inner_it,
             mc_samples=mc_samples, lr0net=lr0net,
         )
         cll_data = _centered_lls(samples, sub_x, sub_y)
         cll_core = _centered_lls(samples, x_core, y_core)
         resid = (N / data_minibatch) * cll_data.sum(axis=0) - w_core @ cll_core
-        return -(cll_core @ resid) / cll_core.shape[1]
+        return -(cll_core @ resid) / cll_core.shape[1], theta
 
     for it in range(num_epochs):
         core_arr = jnp.asarray(core_idcs, jnp.int32)
@@ -283,13 +285,16 @@ def run_sparsevi(
                 if pt not in core_idcs:
                     core_idcs.append(pt)
 
-        # projected weight updates (ref :585-638)
+        # projected weight updates (ref :585-638); theta fresh per epoch,
+        # refined across the outer_it iterations
         core_arr = jnp.asarray(core_idcs, jnp.int32)
+        key, k_th = jax.random.split(key)
+        theta_w = jax.random.normal(k_th, (x_aug.shape[1],))
         for _ in range(outer_it):
             key, k2 = jax.random.split(key)
             sub_idcs2 = jnp.asarray(rng.integers(0, N, size=data_minibatch))
-            g_core = _w_grad(
-                k2, x_aug[core_arr], y[core_arr], w[core_arr],
+            g_core, theta_w = _w_grad(
+                k2, theta_w, x_aug[core_arr], y[core_arr], w[core_arr],
                 x_aug[sub_idcs2], y[sub_idcs2],
             )
             g_full = jnp.zeros_like(w).at[core_arr].set(g_core)
@@ -337,14 +342,21 @@ def run_opsvi(
     opt_u, opt_w = O.adam(lr0u), O.adam(lr0v * N)
     opt_u_state, opt_w_state = opt_u.init(u), opt_w.init(w)
 
+    # persistent MAP iterate: the reference's theta parameter is created once
+    # and every run_laplace call CONTINUES optimizing it (baselines.py:713-714,
+    # :772-782, :941-957) — convergence accumulates across epochs
+    key, k_theta = jax.random.split(key)
+    theta = jax.random.normal(k_theta, (x_aug.shape[1],))
+
     accs, nlls, csizes, times = [], [], [], [0.0]
     us, zs, ws = [], [], []
     t0 = time.time()
 
     @jax.jit
-    def _grads(k, u, z, w, sub_x, sub_y):
-        samples = LR.run_laplace(
-            k, u, z, w, inner_it=inner_it, mc_samples=mc_samples, lr0net=lr0net,
+    def _grads(k, theta, u, z, w, sub_x, sub_y):
+        samples, theta = LR.run_laplace_from(
+            k, theta, u, z, w, inner_it=inner_it, mc_samples=mc_samples,
+            lr0net=lr0net,
         )
         def core_resid_fn(u_in):
             cll_data = _centered_lls(samples, sub_x, sub_y)
@@ -364,14 +376,19 @@ def run_opsvi(
             ) / S
         u_grad = jax.grad(u_fn)(u)
         u_grad = u_grad.at[:, -1].set(0.0)  # zero bias-column grad (ref :804)
-        return w_grad, u_grad
+        return w_grad, u_grad, theta
 
     for it in range(num_epochs):
         if it % log_every == 0:
             key, k = jax.random.split(key)
-            acc, nll = _eval_laplace(
-                k, u, z, w, xt_aug, yt, inner_it, mc_samples, lr0net,
+            samples, theta = LR.run_laplace_from(
+                k, theta, u, z, w, inner_it=inner_it,
+                mc_samples=mc_samples, lr0net=lr0net,
             )
+            probs = LR.logreg_forward(samples, xt_aug)
+            acc = float(jnp.mean((probs > 0.5).astype(jnp.float32) == yt))
+            pcl = jnp.clip(jnp.where(yt > 0.5, probs, 1 - probs), 1e-38)
+            nll = float(-jnp.mean(jnp.log(pcl)))
             times.append(times[-1] + time.time() - t0)
             accs.append(acc), nlls.append(nll), csizes.append(M)
             if log_pseudodata:
@@ -379,7 +396,9 @@ def run_opsvi(
                 ws.append(np.asarray(w))
         sub_idcs = jnp.asarray(rng.integers(0, N, size=data_minibatch))
         key, k = jax.random.split(key)
-        w_grad, u_grad = _grads(k, u, z, w, x_aug[sub_idcs], y[sub_idcs])
+        w_grad, u_grad, theta = _grads(
+            k, theta, u, z, w, x_aug[sub_idcs], y[sub_idcs]
+        )
         w, opt_w_state = opt_w.step(w, w_grad, opt_w_state)
         u, opt_u_state = opt_u.step(u, u_grad, opt_u_state)
         w = jnp.maximum(w, 0.0)

@@ -70,8 +70,9 @@ def laplace_precision(z_core, theta, w, diagonal=True):
 
 
 @partial(jax.jit, static_argnames=("inner_it", "mc_samples", "diagonal", "lr0net"))
-def run_laplace(
+def run_laplace_from(
     key,
+    theta0,
     x_core,
     y_core,
     w_core,
@@ -80,11 +81,11 @@ def run_laplace(
     diagonal: bool = True,
     lr0net: float = 1e-3,
 ):
-    """MAP fit of weighted logreg + Laplace samples
-    (ref ``baselines.py:35-68``). Returns (S, D) parameter samples."""
+    """MAP continuation from ``theta0`` + Laplace samples. The reference's
+    ``run_laplace`` (baselines.py:35-68) CONTINUES optimizing the caller's
+    persistent ``theta`` parameter — callers like ``run_opsvi`` rely on θ
+    converging across epochs. Returns ((S, D) samples, final θ)."""
     D = x_core.shape[1]
-    k0, k1 = jax.random.split(key)
-    theta0 = jax.random.normal(k0, (D,))  # sample from N(0, I) prior
     opt = O.adam(lr0net)
 
     def loss_fn(theta):
@@ -99,7 +100,7 @@ def run_laplace(
     theta, _ = jax.lax.fori_loop(0, inner_it, body, (theta0, opt.init(theta0)))
 
     prec = laplace_precision(x_core, theta, w_core, diagonal=diagonal)
-    eps = jax.random.normal(k1, (mc_samples, D))
+    eps = jax.random.normal(key, (mc_samples, D))
     if diagonal:
         samples = theta + eps * (prec ** -0.5)
     else:
@@ -107,6 +108,30 @@ def run_laplace(
         cov = jnp.linalg.inv(prec)
         L = jnp.linalg.cholesky(cov)
         samples = theta + eps @ L.T
+    return samples, theta
+
+
+def run_laplace(
+    key,
+    x_core,
+    y_core,
+    w_core,
+    inner_it: int = 1000,
+    mc_samples: int = 4,
+    diagonal: bool = True,
+    lr0net: float = 1e-3,
+):
+    """MAP fit from a fresh N(0, I) draw + Laplace samples
+    (ref ``baselines.py:35-68`` as used with a freshly created θ,
+    e.g. run_random :155-175). Returns (S, D) parameter samples."""
+    D = x_core.shape[1]
+    k0, k1 = jax.random.split(key)
+    theta0 = jax.random.normal(k0, (D,))
+    samples, _ = run_laplace_from(
+        k1, theta0, x_core, y_core, w_core,
+        inner_it=inner_it, mc_samples=mc_samples, diagonal=diagonal,
+        lr0net=lr0net,
+    )
     return samples
 
 
