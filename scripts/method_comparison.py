@@ -75,6 +75,14 @@ def main():
                         seed=seed, data_minibatch=128, **base_kw)
         return r["accs"][-1]
 
+    def giga(M, seed):
+        # giga picks one point per log step (ref :382-398 inside the
+        # log_every block): M selections need M log boundaries
+        r = B.run_giga(num_epochs=10 * M + 1, log_every=10, seed=seed,
+                       data_minibatch=128, **{k: v for k, v in base_kw.items()
+                                              if k != "log_every"})
+        return r["accs"][-1]
+
     def sbb(M, seed):
         r = run_sparsevi_with_bb_elbo(
             x=data.x, y=data.y, xt=data.xt, yt=data.yt, mc_samples=10,
@@ -92,7 +100,7 @@ def main():
         "random": sized_baseline(B.run_random),
         "sparsevi": sized_baseline(B.run_sparsevi, inner_it=20, outer_it=100,
                                    data_minibatch=128),
-        "giga": sized_baseline(B.run_giga, data_minibatch=128),
+        "giga": giga,
         "sparsebbvi": sbb,
     }
 
