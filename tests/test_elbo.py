@@ -281,3 +281,36 @@ def test_gradients_flow_to_hyperparams():
     gu, gv = jax.grad(loss, argnums=(0, 1))(u, v)
     assert float(jnp.sum(jnp.abs(gu))) > 0
     assert float(jnp.sum(jnp.abs(gv))) > 0
+
+
+def test_core_weights_simplex_and_alpha_properties():
+    """Property tests (SURVEY §4 plan): softmax-v sums to exp(alpha);
+    identity-f keeps raw v; N-rescaling linear."""
+    import jax.numpy as jnp
+    from psvi_tpu.data import read_dataset
+    from psvi_tpu.inference.psvi import PSVI
+
+    data = read_dataset("halfmoon")
+    eng = PSVI(data, method="psvi_alpha_v", num_pseudo=7, mc_samples=4,
+               architecture="logistic_regression", inner_it=2, num_epochs=2,
+               data_minibatch=32, log_every=1, init_sd=1e-3)
+    v = jnp.asarray(np.linspace(-1, 2, 7))
+    alpha = jnp.asarray([0.7])
+    cw, fv = eng._core_weights(v, alpha)
+    np.testing.assert_allclose(float(fv.sum()), float(np.exp(0.7)), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(cw), data.N * np.asarray(fv), rtol=1e-6)
+
+    eng2 = PSVI(data, method="psvi", num_pseudo=7, mc_samples=4,
+                architecture="logistic_regression", inner_it=2, num_epochs=2,
+                data_minibatch=32, log_every=1, init_sd=1e-3)
+    cw2, fv2 = eng2._core_weights(v, alpha)
+    np.testing.assert_allclose(np.asarray(fv2), np.asarray(v), rtol=1e-6)
+
+
+def test_ness_bounds_property(rng):
+    """Normalized ESS ∈ (0, 1] for any weight vector."""
+    for _ in range(20):
+        lw = jnp.asarray(rng.standard_normal(8) * rng.uniform(0.1, 5))
+        w = jax.nn.softmax(lw)
+        _, ness, _ = E.iw_diagnostics(w, jnp.abs(lw) + 1e-3, 8)
+        assert 0 < float(ness) <= 1.0 + 1e-6
