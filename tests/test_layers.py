@@ -194,3 +194,72 @@ def test_maxpool_matches_torch_semantics():
     assert y.shape == (2, 3, 4, 4, 4)
     ref = np.asarray(x).reshape(2, 3, 4, 4, 2, 4, 2).max(axis=(4, 6))
     np.testing.assert_allclose(np.asarray(y), ref, rtol=1e-6)
+
+
+def test_unbatched_input_paths_match_broadcast():
+    """Unbatched (N, ...) inputs must produce the same outputs as the
+    explicit (S, N, ...) broadcast — covers the VILinear/VILinearFullCov
+    2-D einsum paths and VIConv2d's im2col patch formulation (the TPU
+    fast path for first-layer convs, see layers.py:_apply_patches)."""
+    key = jax.random.PRNGKey(0)
+    S = 4
+
+    # dense
+    lin = VILinear(7, 5, init_sd=0.3)
+    p = lin.init(key)
+    e = lin.sample_eps(jax.random.fold_in(key, 1), S)
+    x = jax.random.normal(jax.random.fold_in(key, 2), (9, 7))
+    out2d = lin.apply(p, e, x)
+    out3d = lin.apply(p, e, jnp.broadcast_to(x[None], (S, 9, 7)))
+    np.testing.assert_allclose(np.asarray(out2d), np.asarray(out3d), rtol=1e-6)
+
+    # full-covariance dense
+    fc = VILinearFullCov(3, 2, init_sd=0.3)
+    pf = fc.init(key)
+    ef = fc.sample_eps(jax.random.fold_in(key, 3), S)
+    xf = jax.random.normal(jax.random.fold_in(key, 4), (6, 3))
+    o2 = fc.apply(pf, ef, xf)
+    o3 = fc.apply(pf, ef, jnp.broadcast_to(xf[None], (S, 6, 3)))
+    np.testing.assert_allclose(np.asarray(o2), np.asarray(o3), rtol=1e-6)
+
+    # conv: patch path (unbatched, C*k^2 <= 256) vs vmapped lax.conv
+    for stride, padding in [(1, 2), (1, 0), (2, 1)]:
+        conv = VIConv2d(3, 6, 5, stride=stride, padding=padding, init_sd=0.3)
+        pc = conv.init(key)
+        ec = conv.sample_eps(jax.random.fold_in(key, 5), S)
+        xc = jax.random.normal(jax.random.fold_in(key, 6), (8, 3, 14, 14))
+        got = conv.apply(pc, ec, xc)  # patch path
+        want = conv.apply(pc, ec, jnp.broadcast_to(xc[None], (S,) + xc.shape))
+        assert got.shape == want.shape
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-5
+        )
+
+    # large-C conv falls back to broadcast+conv (same result trivially)
+    big = VIConv2d(64, 8, 3, padding=1, init_sd=0.3)
+    pb = big.init(key)
+    eb = big.sample_eps(jax.random.fold_in(key, 7), S)
+    xb = jax.random.normal(jax.random.fold_in(key, 8), (2, 64, 6, 6))
+    got = big.apply(pb, eb, xb)
+    want = big.apply(pb, eb, jnp.broadcast_to(xb[None], (S,) + xb.shape))
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-5
+    )
+
+
+def test_sequential_unbatched_matches_broadcast_lenet():
+    """End-to-end: Sequential no longer materializes the S-broadcast; the
+    LeNet forward on (N, 1, 28, 28) must equal the old (S, N, ...) path."""
+    key = jax.random.PRNGKey(1)
+    S = 3
+    net = make_lenet(init_sd=0.1)
+    params = net.init(key)
+    eps = net.sample_eps(jax.random.fold_in(key, 1), S)
+    x = jax.random.normal(jax.random.fold_in(key, 2), (5, 1, 28, 28))
+    out = net.apply(params, eps, x)
+    # manual broadcast through the layer stack (the pre-change semantics)
+    h = jnp.broadcast_to(x[None], (S,) + x.shape)
+    for layer, p, e in zip(net.layers, params, eps):
+        h = layer.apply(p, e, h)
+    assert out.shape == (S, 5, 10)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(h), rtol=2e-4, atol=1e-5)
