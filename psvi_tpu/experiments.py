@@ -23,7 +23,7 @@ from typing import Any, Dict, List
 
 from psvi_tpu.data import read_dataset, read_regression_dataset
 from psvi_tpu.inference import baselines as B
-from psvi_tpu.inference.psvi import run_psvi
+from psvi_tpu.inference.psvi import make_psvi_engine, run_psvi
 from psvi_tpu.inference.sparsebbvi import run_sparsevi_with_bb_elbo
 from psvi_tpu.utils.config import METHOD_SPECS
 from psvi_tpu.utils.results import get_save_foldername, save_results
@@ -115,8 +115,9 @@ def experiment_driver(datasets: List[str], methods: List[str],
                 )
                 else [-1]
             )
-            for t in range(method_args.get("num_trials", 1)):
-                for ps in tps:
+            for ps in tps:
+                engine = None  # PSVI-family: one engine, reseeded per trial
+                for t in range(method_args.get("num_trials", 1)):
                     kw = dict(method_args)
                     kw.pop("datasets", None), kw.pop("methods", None)
                     kw.pop("coreset_sizes", None)
@@ -127,7 +128,16 @@ def experiment_driver(datasets: List[str], methods: List[str],
                     kw["compute_weights_entropy"] = compute_weights_entropy
                     kw["init_args"] = kw.pop("init_at", "subsample")
                     kw["taus"] = getattr(data, "taus", ())
-                    results[dnm][nm_alg][ps][t] = inf_alg(data=data, **kw)
+                    if nm_alg in METHOD_SPECS:
+                        # sequential trials share the compiled executables
+                        # (seed = trial index, ref psvi_experiments.py:536)
+                        if engine is None:
+                            engine = make_psvi_engine(data=data, method=nm_alg, **kw)
+                        else:
+                            engine.reseed(t)
+                        results[dnm][nm_alg][ps][t] = engine.run_psvi()
+                    else:
+                        results[dnm][nm_alg][ps][t] = inf_alg(data=data, **kw)
     return results
 
 

@@ -231,6 +231,51 @@ class PSVI:
         self._build_model()
         self._init_state()
         self._compile()
+        # snapshot for trial reseeding (lifecycle runs mutate these)
+        self._orig_num_pseudo = self.num_pseudo
+        self._orig_nc = self.nc
+
+    def reseed(self, seed: int):
+        """Re-initialize for a new trial of the SAME static config, reusing
+        the compiled step/eval executables (identical shapes → jit cache
+        hits). Sequential trials in one process skip the ~40 s bilevel
+        recompile the reference pays nothing for (torch is eager) but a
+        per-trial fresh engine would pay here."""
+        self.seed = seed
+        self.key = trial_key(seed, 0)
+        self.elbos = []
+        self.results = {}
+        self.chosen_indices = []
+        self._custom_v = None
+        for attr in ("forgetting_events", "last_acc", "never_learnt"):
+            if hasattr(self, attr):
+                delattr(self, attr)
+        needs_recompile = False
+        if self.num_pseudo != self._orig_num_pseudo or self.nc != self._orig_nc:
+            # prune/increment mutated coreset size / class count / data views
+            self.num_pseudo = self._orig_num_pseudo
+            self.nc = self._orig_nc
+            if self.increment:
+                self._reset_increment_data()
+            self._build_model()
+            needs_recompile = True
+        self._init_state()
+        if needs_recompile:
+            self._compile()
+
+    def _reset_increment_data(self):
+        """Restore the incremental-learning initial task (classes {0, 1})."""
+        fx, fy = self._full_xy
+        ftx, fty = self._full_xy_test
+        tr_mask = np.isin(fy, [0, 1])
+        te_mask = np.isin(fty, [0, 1])
+        self.x_train = jnp.asarray(fx[tr_mask])
+        self.y_train = jnp.asarray(fy[tr_mask])
+        self.x_test = jnp.asarray(ftx[te_mask])
+        self.y_test = jnp.asarray(fty[te_mask])
+        self.train_data_so_far = int(tr_mask.sum())
+        self.n_train_now = int(self.x_train.shape[0])
+        self.data_minibatch = min(self.data_minibatch, self.n_train_now)
 
     # ------------------------------------------------------------------
     # construction
@@ -242,6 +287,7 @@ class PSVI:
             self.architecture, self.D, self.n_hidden, self.nc, self.init_sd,
             n_layers=self.n_layers, n_channels=n_channels,
         )
+        self._state_builder = None  # closes over self.net — invalidate
 
     def _core_weights(self, v, alpha):
         """N·f(v): the coreset likelihood weighting (ref f maps,
@@ -338,10 +384,8 @@ class PSVI:
 
     def _init_state(self):
         self.key, k_model, k_pseudo = jax.random.split(self.key, 3)
-        params = self.net.init(k_model)
-        u, z = self._init_pseudodata(k_pseudo)
+        u, z = self._init_pseudodata(k_pseudo)  # host-side (numpy RNG)
         v = self._init_v()
-        alpha = jnp.zeros((1,), jnp.float32)
 
         self.opt_u = O.adam(self.lrs["u"])
         self.opt_v = O.adam(self.lrs["v"])
@@ -358,20 +402,32 @@ class PSVI:
             self.gamma,
         )
 
-        joint_leaves = {"params": params, "u": u}
-        if self.spec.learn_v:
-            joint_leaves["v"] = v
+        if getattr(self, "_state_builder", None) is None:
 
-        self.state = PSVIState(
-            params=params, u=u, z=z, v=v, alpha=alpha,
-            opt_u=self.opt_u.init(u),
-            opt_v=self.opt_v.init(v),
-            opt_z=self.opt_z.init(z),
-            opt_alpha=self.opt_alpha.init(alpha),
-            opt_net=self.opt_net.init(params),
-            opt_joint=self.opt_joint.init(joint_leaves),
-            net_step=jnp.zeros((), jnp.int32),
-        )
+            def build(k_model, u, z, v):
+                # ONE jitted program for the whole state: eager per-op
+                # dispatch costs ~0.3 s/op over the axon tunnel (measured:
+                # 18 s for a logreg state); a single compile + dispatch
+                # makes construction and per-trial reseeding near-free.
+                params = self.net.init(k_model)
+                alpha = jnp.zeros((1,), jnp.float32)
+                joint_leaves = {"params": params, "u": u}
+                if self.spec.learn_v:
+                    joint_leaves["v"] = v
+                return PSVIState(
+                    params=params, u=u, z=z, v=v, alpha=alpha,
+                    opt_u=self.opt_u.init(u),
+                    opt_v=self.opt_v.init(v),
+                    opt_z=self.opt_z.init(z),
+                    opt_alpha=self.opt_alpha.init(alpha),
+                    opt_net=self.opt_net.init(params),
+                    opt_joint=self.opt_joint.init(joint_leaves),
+                    net_step=jnp.zeros((), jnp.int32),
+                )
+
+            self._state_builder = jax.jit(build)
+
+        self.state = self._state_builder(k_model, u, z, v)
 
     # ------------------------------------------------------------------
     # objectives over state
@@ -716,6 +772,33 @@ class PSVI:
         self._multi_step = jax.jit(
             multi_step, static_argnums=(2,), donate_argnums=(0,)
         )
+
+        def multi_step_dyn(state, key, n_active, n_slots: int):
+            """Chain up to ``n_slots`` steps, executing only the first
+            ``n_active`` (dynamic). A single compilation covers every
+            chain length the run loop needs — the final partial chunk of
+            a run no longer triggers a second ~40 s XLA compile."""
+            keys = jax.random.split(key, n_slots)
+            idx = jnp.arange(n_slots)
+
+            def body(s, kin):
+                k, i = kin
+
+                def do(s):
+                    s2, aux = step(s, k)
+                    return s2, aux["outer_loss"]
+
+                def skip(s):
+                    return s, jnp.float32(jnp.nan)
+
+                return jax.lax.cond(i < n_active, do, skip, s)
+
+            state, losses = jax.lax.scan(body, state, (keys, idx))
+            return state, losses
+
+        self._multi_step_dyn = jax.jit(
+            multi_step_dyn, static_argnums=(3,), donate_argnums=(0,)
+        )
         self._eval = jax.jit(partial(self._evaluate_fn, correction=True))
         self._eval_nocorr = jax.jit(partial(self._evaluate_fn, correction=False))
         self._retrain = jax.jit(self._retrain_step, donate_argnums=(0,))
@@ -939,7 +1022,10 @@ class PSVI:
                     self.log_every - (it % self.log_every) or self.log_every,
                     self.num_epochs - it,
                 )
-                self.state, losses = self._multi_step(self.state, k_step, n)
+                n_slots = min(self.log_every, self.num_epochs)
+                self.state, losses = self._multi_step_dyn(
+                    self.state, k_step, jnp.int32(n), n_slots
+                )
                 for _ in range(n):
                     log_resource.update()
                 it += n
@@ -1188,10 +1274,14 @@ class PSVIRegressor(PSVI):
         return self.results
 
 
+def make_psvi_engine(data: DataBundle, method: str = "psvi_learn_v", **kwargs):
+    """Build the right engine class for `method` (PSVI or PSVIRegressor)."""
+    spec = METHOD_SPECS[method]
+    cls = PSVIRegressor if spec.regressor else PSVI
+    return cls(data, method=method, **kwargs)
+
+
 def run_psvi(data: DataBundle, method: str = "psvi_learn_v", **kwargs) -> dict:
     """Functional entry: build the right engine for `method` and run it
     (the analog of ``inf_dict`` dispatch, ref psvi_experiments.py:402-458)."""
-    spec = METHOD_SPECS[method]
-    cls = PSVIRegressor if spec.regressor else PSVI
-    engine = cls(data, method=method, **kwargs)
-    return engine.run_psvi()
+    return make_psvi_engine(data, method=method, **kwargs).run_psvi()
