@@ -44,13 +44,16 @@ def bench_jax():
     eng.N = N_TRAIN
     key = jax.random.PRNGKey(0)
     state = eng.state
-    for i in range(WARMUP):
-        state, aux = eng._step(state, jax.random.fold_in(key, i))
-    jax.block_until_ready(aux["outer_loss"])
+    # Honest timing on the (possibly tunneled) TPU: chain STEPS outer steps
+    # in ONE dispatch via the engine's multi-step scan and force completion
+    # with a host transfer. jax.block_until_ready can return before device
+    # completion on the axon platform, and per-dispatch RTT is ~30 ms — a
+    # per-step dispatch loop under-reports throughput by up to 2x.
+    state, losses = eng._multi_step(state, key, STEPS)  # compile + warmup
+    _ = float(losses[-1])
     t0 = time.perf_counter()
-    for i in range(STEPS):
-        state, aux = eng._step(state, jax.random.fold_in(key, 100 + i))
-    jax.block_until_ready(aux["outer_loss"])
+    state, losses = eng._multi_step(state, jax.random.fold_in(key, 1), STEPS)
+    _ = float(losses[-1])  # forces completion
     dt = time.perf_counter() - t0
     evals_per_sec = STEPS * (INNER_IT + 1) / dt
     return evals_per_sec, dt / STEPS
