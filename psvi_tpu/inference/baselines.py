@@ -42,10 +42,23 @@ def _aug(x):
 
 
 def _eval_laplace(key, x_core, y_core, w_core, xt_aug, yt, inner_it,
-                  mc_samples, lr0net):
+                  mc_samples, lr0net, mcmc=False):
+    """Coreset-posterior predictive evaluation. ``mcmc=True`` samples the
+    posterior with the jitted NUTS sampler (the reference's pystan branch,
+    ``baselines.py:152-153,486-487``, which its disabled Stan dependency
+    never actually runs) instead of the Laplace approximation."""
     if x_core.shape[0] == 0:
         # empty coreset: prior samples
         samples = jax.random.normal(key, (mc_samples, xt_aug.shape[1]))
+        probs = LR.logreg_forward(samples, xt_aug)
+        acc = jnp.mean((probs > 0.5).astype(jnp.float32) == yt)
+        p = jnp.clip(jnp.where(yt > 0.5, probs, 1 - probs), 1e-38)
+        return float(acc), float(-jnp.mean(jnp.log(p)))
+    if mcmc:
+        samples, _ = LR.mcmc_sample(
+            key, x_core, y_core, w_core,
+            num_samples=max(mc_samples, 100), num_warmup=300,
+        )
         probs = LR.logreg_forward(samples, xt_aug)
         acc = jnp.mean((probs > 0.5).astype(jnp.float32) == yt)
         p = jnp.clip(jnp.where(yt > 0.5, probs, 1 - probs), 1e-38)
@@ -59,9 +72,12 @@ def _eval_laplace(key, x_core, y_core, w_core, xt_aug, yt, inner_it,
 
 def run_random(
     x=None, y=None, xt=None, yt=None, mc_samples=4, num_epochs=100,
-    log_every=10, N=None, D=None, seed=0, lr0net=1e-3, **kwargs,
+    log_every=10, N=None, D=None, seed=0, lr0net=1e-3, mcmc=False, **kwargs,
 ) -> Dict[str, Any]:
-    """Grow a random coreset; evaluate via Laplace (ref :118-203)."""
+    """Grow a random coreset; evaluate via Laplace, or NUTS when
+    ``mcmc=True`` (ref :118-203; its mcmc branch at :152-153 is dead
+    pystan code — ours actually samples)."""
+    num_epochs = min(num_epochs, 2000) if mcmc else num_epochs  # ref :148
     rng = np.random.default_rng(seed)
     key = jax.random.PRNGKey(seed)
     x, y, xt, yt = map(jnp.asarray, (x, y, xt, yt))
@@ -77,6 +93,7 @@ def run_random(
             acc, nll = _eval_laplace(
                 k, x_aug[jnp.asarray(core_idcs, jnp.int32)], y[jnp.asarray(core_idcs, jnp.int32)],
                 jnp.asarray(w[core_idcs]), xt_aug, yt, 1000, mc_samples, lr0net,
+                mcmc=mcmc,
             )
             times.append(times[-1] + time.time() - t0)
             accs.append(acc), nlls.append(nll), csizes.append(len(core_idcs))
@@ -109,7 +126,7 @@ def _centered_lls(thetas, x_aug, y):
 def run_giga(
     x=None, y=None, xt=None, yt=None, mc_samples=100, data_minibatch=512,
     num_epochs=100, log_every=10, N=None, D=None, seed=0, subset_size=200,
-    lr0net=1e-3, **kwargs,
+    lr0net=1e-3, mcmc=False, **kwargs,
 ) -> Dict[str, Any]:
     """GIGA coreset: geodesic greedy selection with closed-form weights on
     normalized log-likelihood vectors (ref :207-423)."""
@@ -124,11 +141,18 @@ def run_giga(
     sub_idcs = rng.integers(0, N, size=subset_size)
     sum_scaling = N / data_minibatch
     key, k = jax.random.split(key)
-    param_samples = LR.run_laplace(
-        k, x_aug[jnp.asarray(sub_idcs)], y[jnp.asarray(sub_idcs)],
-        sum_scaling * jnp.ones(subset_size),
-        inner_it=1000, mc_samples=S, lr0net=lr0net,
-    )
+    if mcmc:
+        # ref :271-273 (dead pystan branch): subset posterior via MCMC
+        param_samples, _ = LR.mcmc_sample(
+            k, x_aug[jnp.asarray(sub_idcs)], y[jnp.asarray(sub_idcs)],
+            sum_scaling * jnp.ones(subset_size), num_samples=S,
+        )
+    else:
+        param_samples = LR.run_laplace(
+            k, x_aug[jnp.asarray(sub_idcs)], y[jnp.asarray(sub_idcs)],
+            sum_scaling * jnp.ones(subset_size),
+            inner_it=1000, mc_samples=S, lr0net=lr0net,
+        )
 
     def normalize(v, axis):
         n = jnp.linalg.norm(v, axis=axis, keepdims=True)
@@ -153,7 +177,7 @@ def run_giga(
             key, k = jax.random.split(key)
             acc, nll = _eval_laplace(
                 k, x_aug[core_arr], y[core_arr], jnp.asarray(w[core_idcs]),
-                xt_aug, yt, 100, S, lr0net,
+                xt_aug, yt, 100, S, lr0net, mcmc=mcmc,
             )
             times.append(times[-1] + time.time() - t0)
             accs.append(acc), nlls.append(nll)
@@ -197,7 +221,8 @@ def run_giga(
 def run_sparsevi(
     x=None, y=None, xt=None, yt=None, mc_samples=4, data_minibatch=128,
     num_epochs=100, log_every=10, N=None, D=None, diagonal=True,
-    inner_it=10, outer_it=10, lr0net=1e-3, lr0v=1e-1, seed=0, **kwargs,
+    inner_it=10, outer_it=10, lr0net=1e-3, lr0v=1e-1, seed=0, mcmc=False,
+    **kwargs,
 ) -> Dict[str, Any]:
     """Sparse VI (ref :426-648): Laplace coreset posterior, greedy
     residual-correlation selection, projected Adam on weights."""
@@ -252,7 +277,7 @@ def run_sparsevi(
             key, k = jax.random.split(key)
             acc, nll = _eval_laplace(
                 k, x_aug[core_arr], y[core_arr], w[core_arr], xt_aug, yt,
-                1000, mc_samples, lr0net,
+                1000, mc_samples, lr0net, mcmc=mcmc,
             )
             times.append(times[-1] + time.time() - t0)
             accs.append(acc), nlls.append(nll), csizes.append(len(core_idcs))

@@ -151,10 +151,34 @@ def evaluate_coreset_laplace(
     return acc, nll
 
 
-def mcmc_sample(*args, **kwargs):
-    """Stan NUTS sampling — dead code in the reference (logreg.py:8 comments
-    out `import stan`; all baselines default mcmc=False)."""
-    raise NotImplementedError(
-        "MCMC coreset-posterior sampling is not available (matches the "
-        "reference, where pystan is disabled)."
+def mcmc_sample(
+    key,
+    x_core,
+    y_core,
+    w_core,
+    num_samples: int = 1000,
+    num_warmup: int = 500,
+    max_depth: int = 8,
+):
+    """NUTS sampling of the weighted logreg coreset posterior.
+
+    The reference declares this capability through pystan but ships it
+    disabled (``psvi/models/logreg.py:8,68-92`` — the Stan program is the
+    same weighted Bernoulli-logit likelihood with a N(0,1) prior). Here it
+    is a REAL jitted sampler (``psvi_tpu/ops/nuts.py``), exceeding the
+    reference. Returns ((num_samples, D) θ draws, info dict).
+    """
+    from psvi_tpu.ops.nuts import nuts_sample
+
+    x = jnp.asarray(x_core, jnp.float32)
+    y = jnp.asarray(y_core, jnp.float32)
+    w = jnp.maximum(jnp.asarray(w_core, jnp.float32), 0.0)
+
+    def logdensity(theta):
+        return jnp.dot(w, bernoulli_ll(theta, x, y)) + log_prior(theta)
+
+    theta0 = jnp.zeros((x.shape[1],), jnp.float32)
+    return nuts_sample(
+        logdensity, theta0, key,
+        num_samples=num_samples, num_warmup=num_warmup, max_depth=max_depth,
     )
