@@ -263,3 +263,107 @@ def test_sequential_unbatched_matches_broadcast_lenet():
         h = layer.apply(p, e, h)
     assert out.shape == (S, 5, 10)
     np.testing.assert_allclose(np.asarray(out), np.asarray(h), rtol=2e-4, atol=1e-5)
+
+
+@pytest.mark.skipif(not reference_available, reason="reference oracle needed")
+def test_conv_forward_kl_nkl_match_reference():
+    """Golden-value: reference VIConv2d forward/kl/sampled_nkl vs ours given
+    identical parameter samples (eps recovered from the reference's cached
+    weights) — covers BOTH our 5-D vmapped-conv path and the 4-D im2col
+    patch path (roadmap quality item)."""
+    import torch
+    from psvi.models.neural_net import VIConv2d as RefVIConv2d
+
+    torch.manual_seed(3)
+    S, C, K, k = 5, 2, 4, 3
+    ref = RefVIConv2d(C, K, k, padding=1, init_sd=0.05, mc_samples=S)
+    conv = VIConv2d(C, K, k, padding=1, init_sd=0.05)
+    params = {
+        "mu_w": jnp.asarray(ref.weight.detach().numpy()),
+        "rho_w": jnp.asarray(ref._weight_sd.detach().numpy()),
+        "mu_b": jnp.asarray(ref.bias.detach().numpy()),
+        "rho_b": jnp.asarray(ref._bias_sd.detach().numpy()),
+    }
+    np.testing.assert_allclose(
+        float(conv.kl(params)), ref.kl().item(), rtol=1e-5
+    )
+
+    x = torch.randn(3, C, 8, 8)
+    y_ref = ref(x).detach().numpy()  # (S, N, K, 8, 8); caches samples
+    sd_w = torch.nn.functional.softplus(ref._weight_sd).detach().numpy()
+    sd_b = torch.nn.functional.softplus(ref._bias_sd).detach().numpy()
+    w_cached = ref._cached_weight.detach().numpy()  # (S, K, C, k, k)
+    b_cached = ref._cached_bias.detach().numpy().reshape(S, K)
+    eps = {
+        "w": jnp.asarray((w_cached - np.asarray(params["mu_w"])) / sd_w),
+        "b": jnp.asarray((b_cached - np.asarray(params["mu_b"])) / sd_b),
+    }
+
+    xj = jnp.asarray(x.numpy())
+    # 4-D input -> im2col patch path (C*k^2 = 18 <= 256)
+    y_patch = np.asarray(conv.apply(params, eps, xj))
+    # 5-D broadcast input -> vmapped lax.conv path
+    y_conv = np.asarray(
+        conv.apply(params, eps, jnp.broadcast_to(xj[None], (S,) + xj.shape))
+    )
+    np.testing.assert_allclose(y_patch, y_ref, rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(y_conv, y_ref, rtol=1e-4, atol=1e-5)
+
+    ours_nkl = np.asarray(conv.nkl(params, eps))
+    theirs_nkl = ref.sampled_nkl().detach().numpy()
+    np.testing.assert_allclose(ours_nkl, theirs_nkl, rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.skipif(not reference_available, reason="reference oracle needed")
+def test_fullcov_forward_kl_nkl_match_reference():
+    """Golden-value: reference VILinearMultivariateNormal vs our
+    VILinearFullCov with the scale_tril COPIED from the reference (its
+    (n-1) tril quirk leaves the last Cholesky row without free
+    off-diagonals; our full lower triangle reproduces it exactly by
+    zeroing those entries)."""
+    import torch
+    from psvi.models.neural_net import (
+        VILinearMultivariateNormal as RefFullCov,
+    )
+
+    torch.manual_seed(4)
+    S, din, dout = 6, 3, 2
+    ref = RefFullCov(din, dout, init_sd=0.05, mc_samples=S)
+    layer = VILinearFullCov(din, dout, init_sd=0.05)
+
+    n = layer.num_params
+    k_ref = ref.scale_tril.detach().numpy()  # (n, n)
+    i, j = np.tril_indices(n, k=-1)
+    params = {
+        "mean": jnp.asarray(ref.mean.detach().numpy()),
+        "rho": jnp.asarray(ref._sd.detach().numpy()),
+        "corr": jnp.asarray(k_ref[i, j]),
+    }
+    np.testing.assert_allclose(
+        np.asarray(layer._scale_tril(params)), k_ref, rtol=1e-6, atol=1e-7
+    )
+    np.testing.assert_allclose(
+        float(layer.kl(params)), ref.kl().item(), rtol=1e-4
+    )
+
+    x = torch.randn(4, din)
+    y_ref = ref(x).detach().numpy()  # (S, N, dout); sets sampled params
+    w = ref.weight.detach().numpy().reshape(S, -1)  # (S, dout*din)
+    b = ref.bias.detach().numpy().reshape(S, -1)
+    theta = np.concatenate([w, b], axis=1)  # packing order = param_names
+    import scipy.linalg as sla
+
+    mean = np.asarray(params["mean"])
+    eps_np = np.stack(
+        [sla.solve_triangular(k_ref, t - mean, lower=True) for t in theta]
+    )
+    eps = {"e": jnp.asarray(eps_np.astype(np.float32))}
+
+    y_ours = np.asarray(
+        layer.apply(params, eps, jnp.asarray(x.numpy()))
+    )
+    np.testing.assert_allclose(y_ours, y_ref, rtol=1e-4, atol=1e-5)
+
+    ours_nkl = np.asarray(layer.nkl(params, eps))
+    theirs_nkl = ref.sampled_nkl().detach().numpy()
+    np.testing.assert_allclose(ours_nkl, theirs_nkl, rtol=1e-4, atol=1e-3)
