@@ -207,6 +207,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--tau", type=float, default=0.1)
     p.add_argument("--seed", type=int, default=0)
     # TPU-native additions
+    p.add_argument("--compute_dtype", type=str, default="float32",
+                   choices=["float32", "bfloat16"],
+                   help="activation dtype through the matmul/conv stack; "
+                        "bfloat16 = TPU mixed precision (f32 loss math)")
     p.add_argument("--trial_parallel", action="store_true", default=False,
                    help="advance all trials as one sharded SPMD program")
     p.add_argument("--mesh_trial_axis", type=int, default=0,

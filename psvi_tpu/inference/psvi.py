@@ -119,6 +119,7 @@ class PSVI:
         truncated: bool = False,
         truncated_K: int = 5,
         remat_inner: bool = False,
+        compute_dtype: str = "float32",
         spec: Optional[MethodSpec] = None,
         mesh=None,
         shard_batch: bool = False,
@@ -173,6 +174,7 @@ class PSVI:
         self.hyper_K, self.linsys_lr = hyper_K, linsys_lr
         self.truncated, self.truncated_K = truncated, truncated_K
         self.remat_inner = remat_inner
+        self.compute_dtype = compute_dtype
         self.mfvi_selection_method = mfvi_selection_method
         self.pretrain_epochs = pretrain_epochs
         self.data_folder = data_folder
@@ -287,6 +289,10 @@ class PSVI:
             self.architecture, self.D, self.n_hidden, self.nc, self.init_sd,
             n_layers=self.n_layers, n_channels=n_channels,
         )
+        if self.compute_dtype != "float32":
+            from psvi_tpu.models.layers import with_compute_dtype
+
+            self.net = with_compute_dtype(self.net, self.compute_dtype)
         self._state_builder = None  # closes over self.net — invalidate
 
     def _core_weights(self, v, alpha):

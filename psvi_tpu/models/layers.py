@@ -108,6 +108,13 @@ class VILinear(Layer):
     use_bias: bool = True
     count_kl: bool = True  # dense layers' KL counts (ref psvi_classes.py:479-483)
     backend: str = "xla"  # 'pallas' = fused sample+matmul kernel (first-order paths)
+    # Activation dtype through the matmul/conv stack ('float32'|'bfloat16').
+    # bf16 casts the einsum/conv operands and keeps activations bf16 between
+    # layers (backward matmuls run bf16 too); the MXU accumulates bf16
+    # products in f32 natively. Parameters, KL/NKL log-densities and all
+    # loss math stay f32 — Sequential.apply restores f32 at the output.
+    # bf16 shares f32's exponent range, so no loss scaling is needed.
+    compute_dtype: str = "float32"
 
     def init(self, key) -> Params:
         kw, kb = jax.random.split(key)
@@ -152,6 +159,15 @@ class VILinear(Layer):
         # Unbatched inputs (first variational layer) are NOT broadcast to S —
         # the einsum introduces the S axis, avoiding an (S, N, in) copy.
         eq = "ni,soi->sno" if x.ndim == 2 else "sni,soi->sno"
+        cd = jnp.dtype(self.compute_dtype)
+        if cd != jnp.float32:
+            # bf16 activations in AND out: the backward matmuls then also run
+            # with bf16 operands (a pure-f32-accumulation boundary here would
+            # push f32 cotangents into the transposed einsums). On the MXU a
+            # bf16 matmul accumulates in f32 natively; Sequential.apply casts
+            # the network output back to f32 before any loss math.
+            x, w = x.astype(cd), w.astype(cd)
+            b = b.astype(cd) if b is not None else None
         y = jnp.einsum(eq, x, w)
         if b is not None:
             y = y + b[:, None, :]
@@ -208,6 +224,7 @@ class VIConv2d(Layer):
     prior_sd: float = 1.0
     use_bias: bool = True
     count_kl: bool = False
+    compute_dtype: str = "float32"  # see VILinear.compute_dtype
 
     def init(self, key) -> Params:
         kw, kb = jax.random.split(key)
@@ -254,6 +271,10 @@ class VIConv2d(Layer):
         if x.ndim == 4:
             x = jnp.broadcast_to(x[None], (w.shape[0],) + x.shape)
         pad = [(self.padding, self.padding)] * 2
+        cd = jnp.dtype(self.compute_dtype)
+        if cd != jnp.float32:
+            x, w = x.astype(cd), w.astype(cd)
+            b = b.astype(cd) if b is not None else None
 
         def conv_one(xs, ws):
             return jax.lax.conv_general_dilated(
@@ -299,6 +320,10 @@ class VIConv2d(Layer):
         ]
         P = jnp.stack(cols, axis=1)  # (N, k*k, C, OH, OW)
         wf = w.reshape(S, K, C, k * k)
+        cd = jnp.dtype(self.compute_dtype)
+        if cd != jnp.float32:
+            P, wf = P.astype(cd), wf.astype(cd)
+            b = b.astype(cd) if b is not None else None
         y = jnp.einsum("nqchw,socq->snohw", P, wf)
         if b is not None:
             y = y + b[:, None, :, None, None]
@@ -357,6 +382,7 @@ class VILinearFullCov(Layer):
     prior_sd: float = 1.0
     use_bias: bool = True
     count_kl: bool = True
+    compute_dtype: str = "float32"  # see VILinear.compute_dtype
 
     @property
     def num_params(self) -> int:
@@ -404,6 +430,10 @@ class VILinearFullCov(Layer):
         theta, _ = self._theta_flat(params, eps)
         w, b = self._unpack(theta)
         eq = "ni,soi->sno" if x.ndim == 2 else "sni,soi->sno"
+        cd = jnp.dtype(self.compute_dtype)
+        if cd != jnp.float32:
+            x, w = x.astype(cd), w.astype(cd)
+            b = b.astype(cd) if b is not None else None
         y = jnp.einsum(eq, x, w)
         if b is not None:
             y = y + b[:, None, :]
@@ -595,6 +625,10 @@ class Sequential:
         in_ndim = x.ndim
         for layer, p, e in zip(self.layers, params, eps):
             x = layer.apply(p, e, x)
+        if x.dtype != jnp.float32:
+            # mixed-precision boundary: all objective math (NLL, logsumexp,
+            # IW softmax, KL) runs in f32 on the restored output
+            x = x.astype(jnp.float32)
         if x.ndim == in_ndim and not any(
             l.is_variational for l in self.layers
         ):
@@ -629,6 +663,34 @@ class Sequential:
         return tuple(
             i for i, l in enumerate(self.layers) if l.is_variational
         )
+
+
+def with_compute_dtype(net, dtype: str):
+    """Return a copy of ``net`` with every variational layer's matmul/conv
+    ``compute_dtype`` replaced (``'bfloat16'`` for mixed precision).
+
+    Only the matmul *inputs* are cast — accumulation, parameters, KL/NKL
+    log-densities, pooling and the IW softmax all stay float32, so gradients
+    through the bilevel unroll remain finite (bf16 shares f32's exponent
+    range; no loss scaling needed).
+    """
+    def rewrite(layer):
+        if isinstance(layer, Residual):
+            return dataclasses.replace(
+                layer,
+                body=rewrite_net(layer.body),
+                shortcut=rewrite_net(layer.shortcut),
+            )
+        if hasattr(layer, "compute_dtype"):
+            return dataclasses.replace(layer, compute_dtype=dtype)
+        return layer
+
+    def rewrite_net(n):
+        return dataclasses.replace(
+            n, layers=tuple(rewrite(l) for l in n.layers)
+        )
+
+    return rewrite_net(net)
 
 
 def _infer_mc_samples(eps) -> int:

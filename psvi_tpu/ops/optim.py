@@ -28,6 +28,20 @@ import jax
 import jax.numpy as jnp
 
 
+def _sqrt_safe(v):
+    """sqrt with a finite derivative at exactly 0.
+
+    The bilevel outer grad differentiates THROUGH the Adam update; at
+    ``nu == 0`` (a parameter whose inner gradient is exactly zero — a dead
+    ReLU/pool path, more common under bfloat16 rounding) ``d√nu/dnu = inf``
+    and the chain rule produces ``0·inf = NaN`` hypergradients. Forward is
+    bit-identical to ``jnp.sqrt`` (√0 = 0); the derivative at 0 is taken as
+    0, the correct dead-path subgradient (the parameter does not move).
+    """
+    pos = v > 0
+    return jnp.where(pos, jnp.sqrt(jnp.where(pos, v, 1.0)), 0.0)
+
+
 class AdamState(NamedTuple):
     count: jnp.ndarray  # scalar int32
     mu: Any  # first moments, like params
@@ -64,7 +78,7 @@ def adam(
             lambda v, g: b2 * v + (1.0 - b2) * jnp.square(g), state.nu, grads
         )
         new_params = jax.tree_util.tree_map(
-            lambda p, m, v: p - lr_t * (m / bc1) / (jnp.sqrt(v) / jnp.sqrt(bc2) + eps),
+            lambda p, m, v: p - lr_t * (m / bc1) / (_sqrt_safe(v) / jnp.sqrt(bc2) + eps),
             params,
             mu,
             nu,

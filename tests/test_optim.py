@@ -89,3 +89,26 @@ def test_step_lr():
     np.testing.assert_allclose(
         lrs, [1, 1, 1, 0.1, 0.1, 0.1, 0.01], rtol=1e-5
     )
+
+
+def test_adam_hypergrad_finite_at_exactly_zero_grad():
+    """Differentiating THROUGH an Adam step must stay finite when an inner
+    gradient entry is exactly zero (dead ReLU/pool path; common under bf16).
+
+    Regression test for the 0·inf NaN: with nu = (1−β₂)·g² = 0,
+    d√nu/dnu = inf and the chain rule produced NaN hypergradients.
+    `_sqrt_safe` takes the 0 dead-path subgradient instead.
+    """
+    opt = O.adam(1e-3)
+
+    def inner_loss(p, h):
+        return jnp.sum(jnp.square(p[1:] - h))  # p[0] gets gradient exactly 0
+
+    def outer(h):
+        p = jnp.array([1.0, 2.0, 3.0])
+        g = jax.grad(inner_loss)(p, h)
+        p2, _ = opt.step(p, g, opt.init(p))
+        return jnp.sum(jnp.square(p2))
+
+    val, grad = jax.value_and_grad(outer)(jnp.float32(0.5))
+    assert np.isfinite(float(val)) and np.isfinite(float(grad))
