@@ -120,6 +120,7 @@ class PSVI:
         truncated_K: int = 5,
         remat_inner: bool = False,
         compute_dtype: str = "float32",
+        packed: Optional[bool] = None,
         spec: Optional[MethodSpec] = None,
         mesh=None,
         shard_batch: bool = False,
@@ -175,6 +176,7 @@ class PSVI:
         self.truncated, self.truncated_K = truncated, truncated_K
         self.remat_inner = remat_inner
         self.compute_dtype = compute_dtype
+        self.packed = packed
         self.mfvi_selection_method = mfvi_selection_method
         self.pretrain_epochs = pretrain_epochs
         self.data_folder = data_folder
@@ -293,6 +295,22 @@ class PSVI:
             from psvi_tpu.models.layers import with_compute_dtype
 
             self.net = with_compute_dtype(self.net, self.compute_dtype)
+        if self.packed:
+            # Packed flat-parameter representation (models/packed.py):
+            # collapses the inner loop's per-tensor op chains into single
+            # fused chains. Opt-in: measured ~6% SLOWER than per-layer on
+            # the v5e flagship step (320 vs 567 ops/iter, but flat slices
+            # pay re-tiling copies into the matmul layouts) — kept for
+            # experimentation at other scales.
+            from psvi_tpu.models.packed import pack_net
+
+            pnet = pack_net(self.net)
+            if pnet is None:
+                raise ValueError(
+                    f"packed=True unsupported for architecture "
+                    f"{self.architecture!r} (non-mean-field or stateful layers)"
+                )
+            self.net = pnet
         self._state_builder = None  # closes over self.net — invalidate
 
     def _core_weights(self, v, alpha):
@@ -1182,8 +1200,13 @@ class PSVI:
             )
             xb = x[i:i + batch]
             h = jnp.broadcast_to(xb[None], (S,) + xb.shape)
+            if hasattr(self.net, "unpack"):  # packed flat representation
+                per_params = self.net.unpack(self.state.params)
+                per_eps = self.net.unpack_eps(eps)
+            else:
+                per_params, per_eps = self.state.params, eps
             for layer, p, e in zip(
-                self.net.layers[:-1], self.state.params[:-1], eps[:-1]
+                self.net.layers[:-1], per_params[:-1], per_eps[:-1]
             ):
                 h = layer.apply(p, e, h)
             rows.append(np.asarray(h.sum(axis=0)))

@@ -156,6 +156,11 @@ class VILinear(Layer):
                 params["mu_b"], params["rho_b"], eps["w"], eps["b"],
             )
         w, b = self._theta(params, eps)
+        return self.apply_theta(w, b, x)
+
+    def apply_theta(self, w, b, x):
+        """Forward with explicit parameter samples w (S,out,in), b (S,out) —
+        used directly by the packed flat-parameter representation."""
         # Unbatched inputs (first variational layer) are NOT broadcast to S —
         # the einsum introduces the S axis, avoiding an (S, N, in) copy.
         eq = "ni,soi->sno" if x.ndim == 2 else "sni,soi->sno"
@@ -266,6 +271,10 @@ class VIConv2d(Layer):
     def apply(self, params, eps, x):
         # x: (S, N, C, H, W), or (N, C, H, W) unbatched (first VI layer).
         w, b = self._theta(params, eps)
+        return self.apply_theta(w, b, x)
+
+    def apply_theta(self, w, b, x):
+        """Forward with explicit samples w (S,K,C,k,k), b (S,K)."""
         if x.ndim == 4 and self.in_channels * self.kernel_size**2 <= 256:
             return self._apply_patches(w, b, x)
         if x.ndim == 4:
