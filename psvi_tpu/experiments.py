@@ -219,6 +219,9 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def main(argv=None):
+    from psvi_tpu.utils.cache import enable_persistent_compile_cache
+
+    enable_persistent_compile_cache()
     args = build_parser().parse_args(argv)
     method_args = vars(args)
     datasets = method_args.pop("datasets")

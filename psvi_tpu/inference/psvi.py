@@ -43,6 +43,7 @@ from psvi_tpu.models.networks import set_up_model
 from psvi_tpu.ops import elbo as E
 from psvi_tpu.ops import hypergrad as H
 from psvi_tpu.ops import optim as O
+from psvi_tpu.utils.cache import enable_persistent_compile_cache
 from psvi_tpu.utils.config import MethodSpec, METHOD_SPECS
 from psvi_tpu.utils.resource import LogResource
 from psvi_tpu.utils.prng import trial_key
@@ -136,6 +137,7 @@ class PSVI:
         scoring_run: bool = False,
         **kwargs,
     ):
+        enable_persistent_compile_cache()
         self.data = data
         self.method = method
         self.spec = spec if spec is not None else METHOD_SPECS[method]
