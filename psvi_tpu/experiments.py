@@ -17,6 +17,7 @@ devices' ``'trial'`` mesh axis.
 from __future__ import annotations
 
 import argparse
+import os
 from collections import defaultdict
 from typing import Any, Dict, List
 
@@ -206,6 +207,15 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--num_test", type=int, default=100)
     p.add_argument("--tau", type=float, default=0.1)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--fnm", type=str, default="results",
+                   help="filename (stem) for stored results")
+    p.add_argument("--save_new_folder", action="store_true", default=False,
+                   help="save results in a new timestamped folder")
+    p.add_argument("--save_input_data", action="store_true", default=False,
+                   help="save the input dataset arrays next to the results")
+    p.add_argument("--notes", type=str, default="no notes",
+                   help="notes on what this experiment is trying to "
+                        "accomplish (persisted in config.json)")
     # TPU-native additions
     p.add_argument("--compute_dtype", type=str, default="float32",
                    choices=["float32", "bfloat16"],
@@ -254,11 +264,28 @@ def main(argv=None):
     else:
         results = experiment_driver(datasets, methods, method_args)
 
-    folder = get_save_foldername(
-        method_args.get("results_folder", "results"), datasets, methods,
-        method_args.get("mfvi_selection_method", "random"),
-    )
-    save_results(results, folder, config=method_args)
+    # save layout parity with ref write_to_files (psvi_experiments.py:669-710):
+    # --save_new_folder → timestamped subfolder; else flat into results_folder
+    if method_args.get("save_new_folder", False):
+        folder = get_save_foldername(
+            method_args.get("results_folder", "results"), datasets, methods,
+            method_args.get("mfvi_selection_method", "random"),
+        )
+    else:
+        folder = method_args.get("results_folder", "results")
+    save_results(results, folder, config={**method_args,
+                                          "datasets": datasets,
+                                          "methods": methods},
+                 fnm=method_args.get("fnm", "results"))
+    if method_args.get("save_input_data", False):
+        import numpy as np
+
+        for dnm in datasets:
+            data = read_dataset(dnm, test_ratio=method_args["test_ratio"],
+                                data_folder=method_args["data_folder"])
+            np.savez(os.path.join(folder, f"input_data_{dnm}.npz"),
+                     x=np.asarray(data.x), y=np.asarray(data.y),
+                     xt=np.asarray(data.xt), yt=np.asarray(data.yt))
     print(f"results saved to {folder}")
     return results
 

@@ -54,11 +54,19 @@ def get_save_foldername(results_folder, data_list, method_list, selection_method
     )
 
 
-def save_results(results: Dict[str, Any], folder: str, config: Dict[str, Any] = None):
+def save_results(results: Dict[str, Any], folder: str, config: Dict[str, Any] = None,
+                 fnm: str = "results"):
+    """Persist a results dict as ``{fnm}.json`` + ``{fnm}.pk`` (+config.json).
+
+    ``fnm`` mirrors the reference's ``--fnm`` results-filename flag
+    (``psvi_experiments.py:55``, consumed in ``write_to_files`` :669-710;
+    the reference writes only the pickle there — its json save is
+    commented out as flaky; ours works, pseudodata included).
+    """
     os.makedirs(folder, exist_ok=True)
-    with open(os.path.join(folder, "results.json"), "w") as f:
+    with open(os.path.join(folder, f"{fnm}.json"), "w") as f:
         json.dump(_to_jsonable(results), f)
-    with open(os.path.join(folder, "results.pk"), "wb") as f:
+    with open(os.path.join(folder, f"{fnm}.pk"), "wb") as f:
         pickle.dump(results, f)
     if config is not None:
         with open(os.path.join(folder, "config.json"), "w") as f:

@@ -31,12 +31,34 @@ def test_cli_end_to_end(tmp_path):
     r = res["halfmoon"]["psvi_learn_v"][10][0]
     assert len(r["accs"]) == 2
     assert all(np.isfinite(r["accs"]))
-    # a timestamped folder with results.json was written
+    # default save layout = flat into results_folder, filename from --fnm
+    # (ref write_to_files, psvi_experiments.py:669-710)
+    import os
+
+    assert os.path.exists(tmp_path / "results.json")
+    assert os.path.exists(tmp_path / "results.pk")
+    assert os.path.exists(tmp_path / "config.json")
+
+
+def test_cli_save_new_folder_and_input_data(tmp_path):
+    main([
+        "--datasets", "halfmoon", "--methods", "random",
+        "--num_trials", "1", "--num_epochs", "11", "--log_every", "10",
+        "--mc_samples", "4", "--results_folder", str(tmp_path),
+        "--fnm", "myrun", "--save_new_folder", "--save_input_data",
+        "--notes", "cli layout parity test",
+    ])
+    import json
     import os
 
     subdirs = os.listdir(tmp_path)
-    assert len(subdirs) == 1
-    assert os.path.exists(tmp_path / subdirs[0] / "results.json")
+    assert len(subdirs) == 1  # one timestamped folder
+    folder = tmp_path / subdirs[0]
+    assert os.path.exists(folder / "myrun.json")
+    assert os.path.exists(folder / "myrun.pk")
+    assert os.path.exists(folder / "input_data_halfmoon.npz")
+    cfg = json.load(open(folder / "config.json"))
+    assert cfg["notes"] == "cli layout parity test"
 
 
 def test_cli_baseline_method(tmp_path):
