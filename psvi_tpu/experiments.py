@@ -225,6 +225,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="advance all trials as one sharded SPMD program")
     p.add_argument("--mesh_trial_axis", type=int, default=0,
                    help="trial mesh axis size (0 = all devices)")
+    p.add_argument("--profile_dir", type=str, default=None,
+                   help="write a jax.profiler XLA trace of each PSVI run "
+                        "here (tensorboard-compatible)")
     return p
 
 

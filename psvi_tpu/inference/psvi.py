@@ -135,6 +135,7 @@ class PSVI:
         alpha_dirichlet: float = 0.0,
         choose_difficult: bool = True,
         scoring_run: bool = False,
+        profile_dir: Optional[str] = None,
         **kwargs,
     ):
         enable_persistent_compile_cache()
@@ -189,6 +190,7 @@ class PSVI:
         self.alpha_dirichlet = alpha_dirichlet
         self.choose_difficult = choose_difficult
         self.scoring_run = scoring_run
+        self.profile_dir = profile_dir
         self.elbos = []
         self.results: dict = {}
         self.chosen_indices: list = []
@@ -998,6 +1000,16 @@ class PSVI:
     # ------------------------------------------------------------------
 
     def run_psvi(self, **kwargs) -> dict:
+        if self.profile_dir:
+            # XLA trace of the whole run — the TPU-native upgrade of the
+            # reference's LogResource wall-time/CUDA-memory logging
+            # (SURVEY.md §5 tracing/profiling): open in tensorboard or
+            # parse the .trace.json.gz directly.
+            with jax.profiler.trace(self.profile_dir):
+                return self._run_psvi_impl(**kwargs)
+        return self._run_psvi_impl(**kwargs)
+
+    def _run_psvi_impl(self, **kwargs) -> dict:
         (nlls, accs, csizes, iws_ent, nesses, vs_ent, us, zs, vs, grid_preds,
          times) = ([], [], [], [], [], [], [], [], [], [], [0.0])
         if self.spec.learn_alpha:
@@ -1285,6 +1297,12 @@ class PSVIRegressor(PSVI):
         return rmse, ll, iw_ent, ness, vent
 
     def run_psvi(self, **kwargs) -> dict:
+        if self.profile_dir:
+            with jax.profiler.trace(self.profile_dir):
+                return self._run_psvi_impl(**kwargs)
+        return self._run_psvi_impl(**kwargs)
+
+    def _run_psvi_impl(self, **kwargs) -> dict:
         (lls, rmses, csizes, vs, times) = ([], [], [], [], [0.0])
         t_start = time.time()
         for it in range(self.num_epochs):

@@ -176,3 +176,21 @@ def test_deterministic_same_seed(halfmoon):
     r2 = _quick(halfmoon, seed=3, num_epochs=6)
     np.testing.assert_allclose(r1["accs"], r2["accs"])
     np.testing.assert_allclose(r1["nlls"], r2["nlls"])
+
+
+def test_profile_dir_writes_trace(tmp_path):
+    """profile_dir wraps the run in a jax.profiler trace (SURVEY §5
+    tracing/profiling TPU equivalent)."""
+    import glob
+
+    from psvi_tpu.data import read_dataset
+    from psvi_tpu.inference.psvi import PSVI
+
+    data = read_dataset("halfmoon")
+    eng = PSVI(data, method="psvi_learn_v", num_pseudo=5, mc_samples=4,
+               inner_it=2, num_epochs=3, log_every=2, init_sd=1e-3,
+               profile_dir=str(tmp_path / "trace"))
+    res = eng.run_psvi()
+    assert len(res["accs"]) == 2
+    assert glob.glob(str(tmp_path / "trace" / "**" / "*.trace.json.gz"),
+                     recursive=True)
