@@ -120,6 +120,7 @@ class PSVI:
         truncated: bool = False,
         truncated_K: int = 5,
         remat_inner: bool = False,
+        inner_unroll: int = 1,
         compute_dtype: str = "float32",
         packed: Optional[bool] = None,
         spec: Optional[MethodSpec] = None,
@@ -178,6 +179,7 @@ class PSVI:
         self.hyper_K, self.linsys_lr = hyper_K, linsys_lr
         self.truncated, self.truncated_K = truncated, truncated_K
         self.remat_inner = remat_inner
+        self.inner_unroll = max(int(inner_unroll), 1)
         self.compute_dtype = compute_dtype
         self.packed = packed
         self.mfvi_selection_method = mfvi_selection_method
@@ -508,7 +510,8 @@ class PSVI:
         if self.remat_inner:
             body = jax.checkpoint(body)
         (paramsT, ostateT), inner_losses = jax.lax.scan(
-            body, (params0, opt_state), keys[:T]
+            body, (params0, opt_state), keys[:T],
+            unroll=min(self.inner_unroll, max(T, 1)),
         )
         return paramsT, ostateT, inner_losses
 

@@ -194,3 +194,23 @@ def test_profile_dir_writes_trace(tmp_path):
     assert len(res["accs"]) == 2
     assert glob.glob(str(tmp_path / "trace" / "**" / "*.trace.json.gz"),
                      recursive=True)
+
+
+def test_inner_unroll_same_numerics():
+    """lax.scan unroll is a scheduling knob — results must be identical."""
+    import jax
+
+    from psvi_tpu.data import read_dataset
+    from psvi_tpu.inference.psvi import PSVI
+
+    data = read_dataset("halfmoon")
+    kw = dict(method="psvi_learn_v", num_pseudo=5, mc_samples=4,
+              inner_it=4, num_epochs=1, log_every=10, init_sd=1e-3, seed=0)
+    e1 = PSVI(data, inner_unroll=1, **kw)
+    e2 = PSVI(data, inner_unroll=4, **kw)
+    k = jax.random.PRNGKey(7)
+    s1, _ = e1._step(e1.state, k)
+    s2, _ = e2._step(e2.state, k)
+    for a, b in zip(jax.tree_util.tree_leaves(s1),
+                    jax.tree_util.tree_leaves(s2)):
+        assert jax.numpy.allclose(a, b, atol=1e-6), "unroll changed numerics"
