@@ -120,7 +120,11 @@ class PSVI:
         truncated: bool = False,
         truncated_K: int = 5,
         remat_inner: bool = False,
-        inner_unroll: int = 1,
+        # lax.scan unroll for the inner loop. 2 is a measured ~6% step win
+        # on the flagship LeNet config (TPU v5e: 683 -> 724 evals/s) —
+        # cross-iteration scheduling outweighs the larger program; 4+
+        # regresses. Numerically identical for any value (tested).
+        inner_unroll: int = 2,
         compute_dtype: str = "float32",
         packed: Optional[bool] = None,
         spec: Optional[MethodSpec] = None,
