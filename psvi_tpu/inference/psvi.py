@@ -141,6 +141,10 @@ class PSVI:
         choose_difficult: bool = True,
         scoring_run: bool = False,
         profile_dir: Optional[str] = None,
+        # optional (x, y) arrays used as the subsample-init pool instead of
+        # the training set — e.g. a disturbed copy of the data
+        # (ref psvi_classes.py:115,234)
+        init_dataset=None,
         **kwargs,
     ):
         enable_persistent_compile_cache()
@@ -197,6 +201,7 @@ class PSVI:
         self.choose_difficult = choose_difficult
         self.scoring_run = scoring_run
         self.profile_dir = profile_dir
+        self.init_dataset = init_dataset
         self.elbos = []
         self.results: dict = {}
         self.chosen_indices: list = []
@@ -338,8 +343,13 @@ class PSVI:
         """Pseudodata init (ref :229-308): 'subsample' = class-balanced random
         subset; 'random' = noisy empirical mean + balanced labels."""
         M, nc = self.num_pseudo, self.nc
-        x_np = np.asarray(self.x_train)
-        y_np = np.asarray(self.y_train)
+        if self.init_dataset is not None:
+            # alternate init pool (ref :234): subsample from it, not train
+            x_np = np.asarray(self.init_dataset[0])
+            y_np = np.asarray(self.init_dataset[1])
+        else:
+            x_np = np.asarray(self.x_train)
+            y_np = np.asarray(self.y_train)
         rng = np.random.default_rng(self.seed)
         ppc = [M // nc] * nc
         ppc[-1] = M - sum(ppc[:-1])

@@ -214,3 +214,19 @@ def test_inner_unroll_same_numerics():
     for a, b in zip(jax.tree_util.tree_leaves(s1),
                     jax.tree_util.tree_leaves(s2)):
         assert jax.numpy.allclose(a, b, atol=1e-6), "unroll changed numerics"
+
+
+def test_init_dataset_pool():
+    """init_dataset substitutes the subsample-init pool (ref :115,234)."""
+    import numpy as np
+
+    from psvi_tpu.data import read_dataset
+    from psvi_tpu.inference.psvi import PSVI
+
+    data = read_dataset("halfmoon")
+    pool_x = np.full((40, 2), 7.0, np.float32)
+    pool_y = np.asarray([0.0, 1.0] * 20, np.float32)
+    eng = PSVI(data, method="psvi_learn_v", num_pseudo=4, mc_samples=4,
+               inner_it=2, num_epochs=1, log_every=10, init_sd=1e-3,
+               seed=0, init_dataset=(pool_x, pool_y))
+    assert np.allclose(np.asarray(eng.state.u), 7.0)
