@@ -126,6 +126,7 @@ class PSVI:
         # regresses. Numerically identical for any value (tested).
         inner_unroll: int = 2,
         compute_dtype: str = "float32",
+        pool_backend: str = "reshape",  # 'argmax' = int8-argmax residuals
         packed: Optional[bool] = None,
         spec: Optional[MethodSpec] = None,
         mesh=None,
@@ -189,6 +190,7 @@ class PSVI:
         self.remat_inner = remat_inner
         self.inner_unroll = max(int(inner_unroll), 1)
         self.compute_dtype = compute_dtype
+        self.pool_backend = pool_backend
         self.packed = packed
         self.mfvi_selection_method = mfvi_selection_method
         self.pretrain_epochs = pretrain_epochs
@@ -310,6 +312,10 @@ class PSVI:
             from psvi_tpu.models.layers import with_compute_dtype
 
             self.net = with_compute_dtype(self.net, self.compute_dtype)
+        if self.pool_backend != "reshape":
+            from psvi_tpu.models.layers import with_pool_backend
+
+            self.net = with_pool_backend(self.net, self.pool_backend)
         if self.packed:
             # Packed flat-parameter representation (models/packed.py):
             # collapses the inner loop's per-tensor op chains into single

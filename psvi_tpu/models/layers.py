@@ -491,14 +491,63 @@ class Flatten(Layer):
         return x.reshape(*x.shape[:-3], -1)
 
 
+def _argmax_pool(x, k):
+    """Non-overlapping k×k max-pool whose LINEARIZATION RESIDUAL is the
+    int8 window-argmax instead of the pre-pool activations.
+
+    In the bilevel unroll the default reshape+max pool makes XLA stack the
+    full pre-pool conv activations across all inner iterations (bf16
+    (inner_it, S, M, C, H, W) — ~190 MB on the flagship LeNet step) so the
+    backward can rebuild the max mask by comparison. Here the custom-jvp
+    tangent path consumes only the argmax index through a jax.checkpoint,
+    so partial evaluation saves (idx int8, y) — 8× less residual traffic —
+    and the backward rebuilds the one-hot mask from idx. Gradient routing
+    on ties follows the recorded argmax, exactly like torch's MaxPool2d
+    (the reference's semantics); the compare-mask formulation instead
+    splits gradient across tied positions. Supports arbitrary-order AD
+    (grad-of-grad tested equal to the reference formulation)."""
+
+    @jax.custom_jvp
+    def pool(x):
+        *lead, H, W = x.shape
+        y = x.reshape(*lead, H // k, k, W // k, k)
+        return jnp.max(y, axis=(-3, -1))
+
+    @pool.defjvp
+    def _pool_jvp(primals, tangents):
+        (xp,), (dx,) = primals, tangents
+        *lead, H, W = xp.shape
+        xw = jnp.moveaxis(
+            xp.reshape(*lead, H // k, k, W // k, k), -3, -2
+        ).reshape(*lead, H // k, W // k, k * k)
+        idx = jnp.argmax(xw, axis=-1).astype(jnp.int8)
+        y = jnp.max(xw, axis=-1)
+
+        @jax.checkpoint
+        def tangent_map(idx, dx):
+            dw = jnp.moveaxis(
+                dx.reshape(*lead, H // k, k, W // k, k), -3, -2
+            ).reshape(*lead, H // k, W // k, k * k)
+            mask = jnp.arange(k * k, dtype=jnp.int8) == idx[..., None]
+            return jnp.sum(jnp.where(mask, dw, 0), axis=-1)
+
+        return y, tangent_map(idx, dx)
+
+    return pool(x)
+
+
 @dataclasses.dataclass(frozen=True)
 class MaxPool2d(Layer):
     """Max-pool over (H, W); S and N axes pass through
-    (ref ``BatchMaxPool2d``, ``psvi/models/neural_net.py:249-255``)."""
+    (ref ``BatchMaxPool2d``, ``psvi/models/neural_net.py:249-255``).
+
+    ``backend='argmax'`` switches the non-overlapping fast path to
+    :func:`_argmax_pool` (int8-argmax residuals — see its docstring)."""
 
     kernel_size: int
     stride: int
     padding: int = 0
+    backend: str = "reshape"
 
     def apply(self, params, eps, x):
         k, s, p = self.kernel_size, self.stride, self.padding
@@ -506,6 +555,8 @@ class MaxPool2d(Layer):
             k == s and p == 0
             and x.shape[-1] % k == 0 and x.shape[-2] % k == 0
         ):
+            if self.backend == "argmax":
+                return _argmax_pool(x, k)
             # Non-overlapping pooling as a reshape+max. reduce_window lowers
             # to select-and-scatter whose transpose (and double transpose in
             # the bilevel unroll) is pathologically slow on TPU — this
@@ -692,6 +743,28 @@ def with_compute_dtype(net, dtype: str):
             )
         if hasattr(layer, "compute_dtype"):
             return dataclasses.replace(layer, compute_dtype=dtype)
+        return layer
+
+    def rewrite_net(n):
+        return dataclasses.replace(
+            n, layers=tuple(rewrite(l) for l in n.layers)
+        )
+
+    return rewrite_net(net)
+
+
+def with_pool_backend(net, backend: str):
+    """Return a copy of ``net`` with every MaxPool2d's ``backend`` replaced
+    (``'argmax'`` = int8-argmax residuals, see :func:`_argmax_pool`)."""
+    def rewrite(layer):
+        if isinstance(layer, Residual):
+            return dataclasses.replace(
+                layer,
+                body=rewrite_net(layer.body),
+                shortcut=rewrite_net(layer.shortcut),
+            )
+        if isinstance(layer, MaxPool2d):
+            return dataclasses.replace(layer, backend=backend)
         return layer
 
     def rewrite_net(n):

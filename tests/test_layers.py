@@ -367,3 +367,25 @@ def test_fullcov_forward_kl_nkl_match_reference():
     ours_nkl = np.asarray(layer.nkl(params, eps))
     theirs_nkl = ref.sampled_nkl().detach().numpy()
     np.testing.assert_allclose(ours_nkl, theirs_nkl, rtol=1e-4, atol=1e-3)
+
+
+def test_argmax_pool_matches_reshape_pool():
+    """pool backend 'argmax' (int8-argmax residuals): forward, grad and
+    grad-of-grad bitwise-match the reshape-max formulation (no ties in
+    random data; on ties argmax routes to one winner like torch)."""
+    import jax
+    import jax.numpy as jnp
+
+    from psvi_tpu.models.layers import MaxPool2d, _argmax_pool
+
+    x = jax.random.normal(jax.random.PRNGKey(0), (3, 4, 6, 8, 8))
+    w = jax.random.normal(jax.random.PRNGKey(1), (3, 4, 6, 4, 4))
+    ref_pool = MaxPool2d(2, 2)
+
+    f_ref = lambda x: jnp.sum(ref_pool.apply(None, None, x) * w)
+    f_am = lambda x: jnp.sum(_argmax_pool(x, 2) * w)
+    assert jnp.all(f_ref(x) == f_am(x))
+    assert jnp.all(jax.grad(f_ref)(x) == jax.grad(f_am)(x))
+    gg_ref = jax.grad(lambda x: jnp.sum(jax.grad(f_ref)(x) ** 2))(x)
+    gg_am = jax.grad(lambda x: jnp.sum(jax.grad(f_am)(x) ** 2))(x)
+    assert jnp.all(gg_ref == gg_am)
