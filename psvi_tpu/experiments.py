@@ -243,6 +243,17 @@ def main(argv=None):
     datasets = method_args.pop("datasets")
     methods = method_args.pop("methods")
 
+    # --init_dataset names an alternate dataset whose points seed the
+    # subsample init (engine kwarg init_dataset=(x, y); ref
+    # psvi_classes.py:115,234 exposes it constructor-only)
+    if isinstance(method_args.get("init_dataset"), str):
+        pool = read_dataset(
+            method_args["init_dataset"],
+            test_ratio=method_args["test_ratio"],
+            data_folder=method_args["data_folder"],
+        )
+        method_args["init_dataset"] = (pool.x, pool.y)
+
     if method_args.pop("trial_parallel", False):
         import jax
 
@@ -286,9 +297,18 @@ def main(argv=None):
     if method_args.get("save_input_data", False):
         import numpy as np
 
+        # mirror the driver's reader choice (regression vs classification)
+        is_regression = any(m in REGRESSOR_METHODS for m in methods)
         for dnm in datasets:
-            data = read_dataset(dnm, test_ratio=method_args["test_ratio"],
-                                data_folder=method_args["data_folder"])
+            if is_regression:
+                data = read_regression_dataset(
+                    dnm, seed=method_args.get("seed", 0),
+                    num_test=method_args.get("num_test", 100),
+                    data_dir=method_args.get("data_folder", "data"),
+                )
+            else:
+                data = read_dataset(dnm, test_ratio=method_args["test_ratio"],
+                                    data_folder=method_args["data_folder"])
             np.savez(os.path.join(folder, f"input_data_{dnm}.npz"),
                      x=np.asarray(data.x), y=np.asarray(data.y),
                      xt=np.asarray(data.xt), yt=np.asarray(data.yt))

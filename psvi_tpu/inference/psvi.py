@@ -880,6 +880,7 @@ class PSVI:
         ablated_weights: bool = True,
         ablated_alpha: bool = True,
         ablated_labels: bool = True,
+        fnm: str = "results",
     ):
         """Warm-start the coreset from a previously saved run
         (ref ``custom_init_evaluate`` :377-442 + ``retrieve_results``,
@@ -890,7 +891,7 @@ class PSVI:
 
         d = retrieve_results(
             self.results_folder or "results", subfolder_name, dataset,
-            method, coreset_size, trial,
+            method, coreset_size, trial, fnm=fnm,
         )
         rng = np.random.default_rng(self.seed)
         self.chosen_indices = [int(i) for i in d["chosen_indices"]]
@@ -1285,11 +1286,20 @@ class PSVIRegressor(PSVI):
     likelihood = "gaussian"
 
     def _init_pseudodata(self, key):
-        # random subsample of (x, y) pairs (ref :2019-2031)
+        # random subsample of (x, y) pairs (ref :2019-2031), optionally
+        # from an alternate init pool (ref :115,234 — the init_dataset
+        # kwarg lives on the regressor family too)
         rng = np.random.default_rng(self.seed)
-        idx = rng.choice(self.n_train_now, size=self.num_pseudo, replace=False)
-        u = self.x_train[jnp.asarray(idx)]
-        z = self.y_train[jnp.asarray(idx)].reshape(-1)
+        if self.init_dataset is not None:
+            x_pool = jnp.asarray(np.asarray(self.init_dataset[0]))
+            y_pool = jnp.asarray(np.asarray(self.init_dataset[1]))
+        else:
+            x_pool, y_pool = self.x_train, self.y_train
+        idx = rng.choice(
+            x_pool.shape[0], size=self.num_pseudo, replace=False
+        )
+        u = x_pool[jnp.asarray(idx)]
+        z = y_pool[jnp.asarray(idx)].reshape(-1)
         return u, z
 
     def _evaluate_fn(self, state: PSVIState, key, correction: bool = True):
@@ -1319,12 +1329,8 @@ class PSVIRegressor(PSVI):
         iw_ent, ness, vent = E.iw_diagnostics(weights, fv, self.num_pseudo)
         return rmse, ll, iw_ent, ness, vent
 
-    def run_psvi(self, **kwargs) -> dict:
-        if self.profile_dir:
-            with jax.profiler.trace(self.profile_dir):
-                return self._run_psvi_impl(**kwargs)
-        return self._run_psvi_impl(**kwargs)
-
+    # run_psvi is inherited: the base profile_dir wrapper dispatches to this
+    # override dynamically.
     def _run_psvi_impl(self, **kwargs) -> dict:
         (lls, rmses, csizes, vs, times) = ([], [], [], [], [0.0])
         t_start = time.time()

@@ -513,6 +513,10 @@ def _argmax_pool(x, k):
         y = x.reshape(*lead, H // k, k, W // k, k)
         return jnp.max(y, axis=(-3, -1))
 
+    # int8 residuals hold window indices up to 127; larger kernels fall
+    # back to int32 (still 2-4x smaller than the pre-pool activations)
+    idx_dtype = jnp.int8 if k * k <= 127 else jnp.int32
+
     @pool.defjvp
     def _pool_jvp(primals, tangents):
         (xp,), (dx,) = primals, tangents
@@ -520,7 +524,7 @@ def _argmax_pool(x, k):
         xw = jnp.moveaxis(
             xp.reshape(*lead, H // k, k, W // k, k), -3, -2
         ).reshape(*lead, H // k, W // k, k * k)
-        idx = jnp.argmax(xw, axis=-1).astype(jnp.int8)
+        idx = jnp.argmax(xw, axis=-1).astype(idx_dtype)
         y = jnp.max(xw, axis=-1)
 
         @jax.checkpoint
@@ -528,7 +532,7 @@ def _argmax_pool(x, k):
             dw = jnp.moveaxis(
                 dx.reshape(*lead, H // k, k, W // k, k), -3, -2
             ).reshape(*lead, H // k, W // k, k * k)
-            mask = jnp.arange(k * k, dtype=jnp.int8) == idx[..., None]
+            mask = jnp.arange(k * k, dtype=idx_dtype) == idx[..., None]
             return jnp.sum(jnp.where(mask, dw, 0), axis=-1)
 
         return y, tangent_map(idx, dx)
@@ -550,6 +554,8 @@ class MaxPool2d(Layer):
     backend: str = "reshape"
 
     def apply(self, params, eps, x):
+        if self.backend not in ("reshape", "argmax"):
+            raise ValueError(f"unknown pool backend {self.backend!r}")
         k, s, p = self.kernel_size, self.stride, self.padding
         if (
             k == s and p == 0
@@ -734,45 +740,40 @@ def with_compute_dtype(net, dtype: str):
     through the bilevel unroll remain finite (bf16 shares f32's exponent
     range; no loss scaling needed).
     """
-    def rewrite(layer):
-        if isinstance(layer, Residual):
-            return dataclasses.replace(
-                layer,
-                body=rewrite_net(layer.body),
-                shortcut=rewrite_net(layer.shortcut),
-            )
-        if hasattr(layer, "compute_dtype"):
-            return dataclasses.replace(layer, compute_dtype=dtype)
-        return layer
-
-    def rewrite_net(n):
-        return dataclasses.replace(
-            n, layers=tuple(rewrite(l) for l in n.layers)
-        )
-
-    return rewrite_net(net)
+    return _rewrite_layers(
+        net,
+        lambda l: dataclasses.replace(l, compute_dtype=dtype)
+        if hasattr(l, "compute_dtype") else l,
+    )
 
 
 def with_pool_backend(net, backend: str):
     """Return a copy of ``net`` with every MaxPool2d's ``backend`` replaced
     (``'argmax'`` = int8-argmax residuals, see :func:`_argmax_pool`)."""
+    if backend not in ("reshape", "argmax"):
+        raise ValueError(f"unknown pool backend {backend!r}")
+    return _rewrite_layers(
+        net,
+        lambda l: dataclasses.replace(l, backend=backend)
+        if isinstance(l, MaxPool2d) else l,
+    )
+
+
+def _rewrite_layers(net, fn):
+    """Map ``fn`` over every leaf layer of a Sequential, recursing through
+    container layers (Residual body/shortcut)."""
     def rewrite(layer):
         if isinstance(layer, Residual):
             return dataclasses.replace(
                 layer,
-                body=rewrite_net(layer.body),
-                shortcut=rewrite_net(layer.shortcut),
+                body=_rewrite_layers(layer.body, fn),
+                shortcut=_rewrite_layers(layer.shortcut, fn),
             )
-        if isinstance(layer, MaxPool2d):
-            return dataclasses.replace(layer, backend=backend)
-        return layer
+        return fn(layer)
 
-    def rewrite_net(n):
-        return dataclasses.replace(
-            n, layers=tuple(rewrite(l) for l in n.layers)
-        )
-
-    return rewrite_net(net)
+    return dataclasses.replace(
+        net, layers=tuple(rewrite(l) for l in net.layers)
+    )
 
 
 def _infer_mc_samples(eps) -> int:

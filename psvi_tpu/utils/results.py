@@ -73,16 +73,18 @@ def save_results(results: Dict[str, Any], folder: str, config: Dict[str, Any] = 
             json.dump(_to_jsonable(config), f, default=str)
 
 
-def load_results(folder: str):
-    with open(os.path.join(folder, "results.pk"), "rb") as f:
+def load_results(folder: str, fnm: str = "results"):
+    with open(os.path.join(folder, f"{fnm}.pk"), "rb") as f:
         return pickle.load(f)
 
 
-def retrieve_results(results_folder, subfolder_name, dataset, method, coreset_size, trial=0):
+def retrieve_results(results_folder, subfolder_name, dataset, method, coreset_size, trial=0,
+                     fnm: str = "results"):
     """Warm-start retrieval for ``custom_init_evaluate``
     (ref ``inference/utils.py:1800-1823``): loads the saved run and returns
-    the stored coreset state for (dataset, method, coreset_size, trial)."""
-    res = load_results(os.path.join(results_folder, subfolder_name))
+    the stored coreset state for (dataset, method, coreset_size, trial).
+    ``fnm`` must match the ``--fnm`` the run was saved with."""
+    res = load_results(os.path.join(results_folder, subfolder_name), fnm=fnm)
     node = res[dataset][method][coreset_size][trial]
     out = {
         "chosen_indices": node.get("chosen_indices", []),

@@ -69,3 +69,16 @@ def test_cli_baseline_method(tmp_path):
     ])
     r = res["halfmoon"]["random"][-1][0]
     assert r["csizes"] == [0, 10]
+
+
+def test_cli_init_dataset_name_resolves(tmp_path):
+    """--init_dataset names a dataset whose points seed the subsample init."""
+    res = main([
+        "--datasets", "halfmoon", "--methods", "psvi_learn_v",
+        "--coreset_sizes", "6", "--num_trials", "1", "--num_epochs", "3",
+        "--inner_it", "2", "--mc_samples", "4", "--log_every", "2",
+        "--init_sd", "1e-3", "--results_folder", str(tmp_path),
+        "--init_dataset", "four_blobs",
+    ])
+    r = res["halfmoon"]["psvi_learn_v"][6][0]
+    assert all(np.isfinite(r["accs"]))
