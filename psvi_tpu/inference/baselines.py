@@ -225,30 +225,46 @@ def run_sparsevi(
     **kwargs,
 ) -> Dict[str, Any]:
     """Sparse VI (ref :426-648): Laplace coreset posterior, greedy
-    residual-correlation selection, projected Adam on weights."""
+    residual-correlation selection, projected Adam on weights.
+
+    The coreset lives in a FIXED-SIZE padded buffer (capacity num_epochs —
+    at most one point joins per epoch) with zero weights on unused slots.
+    Zero-weight rows contribute exactly nothing to the MAP loss, its
+    gradient and the Laplace Hessian (all are w-weighted sums), so the
+    math is identical to the growing-array formulation while every jitted
+    program keeps STATIC shapes: 2 compiles for the whole run instead of
+    one per coreset size per step (the growing formulation recompiled
+    ~3 programs × num_epochs times — 244 s → ~30 s per 101-epoch CPU run)."""
     rng = np.random.default_rng(seed)
     key = jax.random.PRNGKey(seed)
     outer_it = min(outer_it, 500)
     x, y, xt, yt = map(jnp.asarray, (x, y, xt, yt))
     x_aug, xt_aug = _aug(x), _aug(xt)
-    w = jnp.zeros(N)
+    M_max, Dp = num_epochs, x_aug.shape[1]
+    xc = jnp.zeros((M_max, Dp), x_aug.dtype)
+    yc = jnp.zeros((M_max,), y.dtype)
+    wc = jnp.zeros((M_max,))
+    mask = jnp.zeros((M_max,), bool)
+    pos = np.zeros((M_max,), np.int32)  # dataset index per slot (host-side)
+    m = 0
     opt_w = O.adam(lr0v)
-    opt_w_state = opt_w.init(w)
+    opt_w_state = opt_w.init(wc)
 
     accs, nlls, csizes, times = [], [], [], [0.0]
     log_idcs, log_wts = [], []
     core_idcs: list = []
     t0 = time.time()
+    scale = N / data_minibatch
 
     @jax.jit
-    def _select_stats(k, x_core, y_core, w_core, sub_x, sub_y):
+    def _select_stats(k, xc, yc, wc, mask, sub_x, sub_y):
         samples = LR.run_laplace(
-            k, x_core, y_core, w_core, inner_it=inner_it,
+            k, xc, yc, wc, inner_it=inner_it,
             mc_samples=mc_samples, lr0net=lr0net,
         )
         cll_data = _centered_lls(samples, sub_x, sub_y)
-        cll_core = _centered_lls(samples, x_core, y_core)
-        resid = (N / data_minibatch) * cll_data.sum(axis=0) - w_core @ cll_core
+        cll_core = _centered_lls(samples, xc, yc)
+        resid = scale * cll_data.sum(axis=0) - wc @ cll_core
         S = cll_data.shape[1]
         corrs = (cll_data @ resid) / jnp.sqrt(
             jnp.sum(cll_data**2, axis=1)
@@ -256,75 +272,69 @@ def run_sparsevi(
         corecorrs = jnp.abs(cll_core @ resid) / jnp.sqrt(
             jnp.sum(cll_core**2, axis=1)
         ) / S
-        return corrs, corecorrs
+        # padded slots must not win the max-correlation comparison
+        return corrs, jnp.where(mask, corecorrs, -jnp.inf)
 
     @jax.jit
-    def _w_grad(k, theta, x_core, y_core, w_core, sub_x, sub_y):
+    def _w_grad(k, theta, xc, yc, wc, mask, sub_x, sub_y):
         # MAP continuation: ref creates theta once per epoch and the
         # outer_it weight loop keeps refining it (baselines.py:588-604)
         samples, theta = LR.run_laplace_from(
-            k, theta, x_core, y_core, w_core, inner_it=inner_it,
+            k, theta, xc, yc, wc, inner_it=inner_it,
             mc_samples=mc_samples, lr0net=lr0net,
         )
         cll_data = _centered_lls(samples, sub_x, sub_y)
-        cll_core = _centered_lls(samples, x_core, y_core)
-        resid = (N / data_minibatch) * cll_data.sum(axis=0) - w_core @ cll_core
-        return -(cll_core @ resid) / cll_core.shape[1], theta
+        cll_core = _centered_lls(samples, xc, yc)
+        resid = scale * cll_data.sum(axis=0) - wc @ cll_core
+        g = -(cll_core @ resid) / cll_core.shape[1]
+        return jnp.where(mask, g, 0.0), theta
 
     for it in range(num_epochs):
-        core_arr = jnp.asarray(core_idcs, jnp.int32)
         if it % log_every == 0:
             key, k = jax.random.split(key)
             acc, nll = _eval_laplace(
-                k, x_aug[core_arr], y[core_arr], w[core_arr], xt_aug, yt,
-                1000, mc_samples, lr0net, mcmc=mcmc,
+                k, xc, yc, wc, xt_aug, yt, 1000, mc_samples, lr0net,
+                mcmc=mcmc,
             )
             times.append(times[-1] + time.time() - t0)
             accs.append(acc), nlls.append(nll), csizes.append(len(core_idcs))
             log_idcs.append(list(core_idcs))
-            log_wts.append(np.asarray(w).tolist())
+            w_full = np.zeros(N)
+            w_full[pos[:m]] = np.asarray(wc)[:m]
+            log_wts.append(w_full.tolist())
 
-        # greedy selection (ref :521-581)
+        # greedy selection (ref :521-581); with an empty (all-masked)
+        # coreset, corecorrs is -inf and the max-correlation point is
+        # picked unconditionally — the reference's no-coreset branch
         sub_idcs = rng.integers(0, N, size=data_minibatch)
         sub_arr = jnp.asarray(sub_idcs)
         key, k = jax.random.split(key)
-        if len(core_idcs) == 0:
-            # no coreset yet: pick the max-correlation data point
-            samples = LR.run_laplace(
-                k, x_aug[:1], y[:1], jnp.zeros(1), inner_it=inner_it,
-                mc_samples=mc_samples, lr0net=lr0net,
-            )
-            cll_data = _centered_lls(samples, x_aug[sub_arr], y[sub_arr])
-            resid = (N / data_minibatch) * cll_data.sum(axis=0)
-            corrs = (cll_data @ resid) / jnp.sqrt(
-                jnp.sum(cll_data**2, axis=1)
-            ) / cll_data.shape[1]
-            core_idcs.append(int(sub_idcs[int(jnp.argmax(corrs))]))
-        else:
-            corrs, corecorrs = _select_stats(
-                k, x_aug[core_arr], y[core_arr], w[core_arr],
-                x_aug[sub_arr], y[sub_arr],
-            )
-            if float(corrs.max()) > float(corecorrs.max()):
-                pt = int(sub_idcs[int(jnp.argmax(corrs))])
-                if pt not in core_idcs:
-                    core_idcs.append(pt)
+        corrs, corecorrs = _select_stats(
+            k, xc, yc, wc, mask, x_aug[sub_arr], y[sub_arr]
+        )
+        if float(corrs.max()) > float(corecorrs.max()):
+            pt = int(sub_idcs[int(jnp.argmax(corrs))])
+            if pt not in core_idcs and m < M_max:
+                core_idcs.append(pt)
+                xc = xc.at[m].set(x_aug[pt])
+                yc = yc.at[m].set(y[pt])
+                mask = mask.at[m].set(True)
+                pos[m] = pt
+                m += 1
 
         # projected weight updates (ref :585-638); theta fresh per epoch,
         # refined across the outer_it iterations
-        core_arr = jnp.asarray(core_idcs, jnp.int32)
         key, k_th = jax.random.split(key)
-        theta_w = jax.random.normal(k_th, (x_aug.shape[1],))
+        theta_w = jax.random.normal(k_th, (Dp,))
         for _ in range(outer_it):
             key, k2 = jax.random.split(key)
             sub_idcs2 = jnp.asarray(rng.integers(0, N, size=data_minibatch))
             g_core, theta_w = _w_grad(
-                k2, theta_w, x_aug[core_arr], y[core_arr], w[core_arr],
+                k2, theta_w, xc, yc, wc, mask,
                 x_aug[sub_idcs2], y[sub_idcs2],
             )
-            g_full = jnp.zeros_like(w).at[core_arr].set(g_core)
-            w, opt_w_state = opt_w.step(w, g_full, opt_w_state)
-            w = jnp.maximum(w, 0.0)
+            wc, opt_w_state = opt_w.step(wc, g_core, opt_w_state)
+            wc = jnp.maximum(wc, 0.0)
     return {
         "accs": accs, "nlls": nlls, "csizes": csizes, "times": times[1:],
         "wt_index": _process_wt_index(log_idcs, log_wts),
