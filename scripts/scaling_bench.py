@@ -51,6 +51,27 @@ def bench_mesh(data, n_dev, trials_per_dev=2, steps=20):
     return total_trial_steps / dt
 
 
+def bench_data_parallel(data, n_dev, steps=20, B=512):
+    """Step throughput with the minibatch sharded n_dev ways over the
+    'data' mesh axis (XLA inserts the psum for the data_nll sum)."""
+    from psvi_tpu.inference.psvi import PSVI
+
+    mesh = make_mesh(data=n_dev)
+    eng = PSVI(
+        data, method="psvi_learn_v", num_pseudo=10, mc_samples=10,
+        architecture="fn", n_hidden=40, inner_it=10, num_epochs=1,
+        data_minibatch=B, log_every=10_000, init_sd=1e-3, seed=0,
+        mesh=mesh, shard_batch=True,
+    )
+    key = jax.random.PRNGKey(0)
+    state, losses = eng._multi_step(eng.state, key, steps)
+    _ = float(losses[-1])  # compile + warmup
+    t0 = time.perf_counter()
+    state, losses = eng._multi_step(state, jax.random.fold_in(key, 1), steps)
+    _ = float(losses[-1])
+    return steps / (time.perf_counter() - t0)
+
+
 def main():
     data = read_dataset("halfmoon")
     n_devices = len(jax.devices())
@@ -66,6 +87,12 @@ def main():
         rows.append((n, tps, eff))
         print(f"trial axis={n}: {tps:.1f} trial-steps/s, efficiency {eff:.2%}")
 
+    dp_rows = []
+    for n in sizes:
+        sps = bench_data_parallel(data, n)
+        dp_rows.append((n, sps))
+        print(f"data axis={n}: {sps:.1f} steps/s")
+
     lines = [
         "# SCALING — trial-parallel efficiency",
         "",
@@ -80,6 +107,19 @@ def main():
     ]
     for n, tps, eff in rows:
         lines.append(f"| {n} | {tps:.1f} | {eff:.1%} |")
+    lines += [
+        "",
+        "## Data-parallel minibatch sharding",
+        "",
+        "Same PSVI nested step with the minibatch (B=512) sharded over the",
+        "mesh 'data' axis (`PSVI(mesh=…, shard_batch=True)`): the data_nll",
+        "row-sum in the outer IW-ELBO becomes an XLA-inserted psum over the",
+        "axis; numerics equal the replicated run (tests/test_parallel.py).",
+        "",
+        "| data-axis devices | steps/s |",
+        "|---|---|",
+        *[f"| {n} | {sps:.1f} |" for n, sps in dp_rows],
+    ]
     lines += [
         "",
         "Notes: this environment exposes ONE physical TPU chip; multi-device",
