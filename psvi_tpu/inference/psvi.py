@@ -341,7 +341,7 @@ class PSVI:
             fv = jax.nn.softmax(v)
         else:
             fv = v
-        if self.spec.learn_alpha:
+        if self.spec.learn_alpha or self.spec.alpha_fixed:
             fv = jnp.exp(alpha[0]) * fv
         return self.N * fv, fv
 
@@ -443,6 +443,8 @@ class PSVI:
         self.opt_alpha = O.adam(self.lrs["alpha"])
         self.opt_net = O.adam(self.lrs["net"])
         self.opt_joint = O.adam(self.lrs["joint"])
+        # retrain phase uses a FRESH Adam at lr0joint (ref :971)
+        self.opt_retrain = O.adam(self.lrs["joint"])
         self.inner_opt = O.adam(self.lrs["net"])
 
         # StepLR schedule for the net lr (ref :803-807,864-866)
@@ -674,14 +676,19 @@ class PSVI:
         )(state.u)
         u, opt_u = self.opt_u.step(state.u, gu, state.opt_u)
         state = state._replace(params=params, u=u, opt_net=opt_net, opt_u=opt_u)
-        return state, {"outer_loss": loss1, "inner_losses": loss0[None]}
+        # ELBO stream tags (ref :533-537): the i=0 NET step is tagged 0
+        # (→ outer_loss slot) and the i=1 U step tagged 1 (→ inner slot)
+        return state, {"outer_loss": loss0, "inner_losses": loss1[None]}
 
     def _hyper_step(self, state: PSVIState, key):
         """AID/IFT step: plain inner solve then CG-normal-equations
         hypergradient (ref ``hyper_step`` :602-687)."""
         k_batch, k_inner, k_ift, k_outer = jax.random.split(key, 4)
         xb, yb = self._sample_batch(k_batch)
-        lr_now = self.lr_net_sched(state.net_step)
+        # the reference's hyper_step never steps scheduler_optim_net
+        # (:602-687; scheduler.step only in nested_step :592-593), so the
+        # inner solve runs at constant lr0net
+        lr_now = jnp.float32(self.lrs["net"])
         hyper = self._hyper_tree(state)
 
         # inner solve, not differentiated (ref inner_loop :622-654)
@@ -720,17 +727,19 @@ class PSVI:
         else:
             loss = outer_loss_fn(paramsT, {})
 
-        state = state._replace(params=paramsT, net_step=state.net_step + 1)
+        state = state._replace(params=paramsT)
         return state, {"outer_loss": loss, "inner_losses": inner_losses}
 
     def _retrain_step(self, state: PSVIState, key):
-        """Net-only step on the inner ELBO (ref retrain loop :996-1003)."""
+        """Net-only step on the inner ELBO with the lr0joint retrain Adam
+        (ref retrain loop :996-1003; fresh optimizer at lr0joint :971 —
+        weight_reset before the loop re-initializes the moments)."""
         def loss_fn(p):
             eps = self.net.sample_eps(key, self.mc_samples)
             return self._inner_loss(p, eps, state.u, state.z, state.v, state.alpha)
 
         loss, g = jax.value_and_grad(loss_fn)(state.params)
-        params, opt_net = self.opt_net.step(state.params, g, state.opt_net)
+        params, opt_net = self.opt_retrain.step(state.params, g, state.opt_net)
         return state._replace(params=params, opt_net=opt_net), loss
 
     # ------------------------------------------------------------------
@@ -944,10 +953,14 @@ class PSVI:
         v = jnp.zeros((to_size,), jnp.float32)
         u = self.state.u[keep]
         z = self.state.z[keep]
+        joint_leaves = {"params": self.state.params, "u": u}
+        if self.spec.learn_v:
+            joint_leaves["v"] = v
         self.state = self.state._replace(
             u=u, z=z, v=v,
             opt_u=self.opt_u.init(u), opt_v=self.opt_v.init(v),
             opt_z=self.opt_z.init(z),
+            opt_joint=self.opt_joint.init(joint_leaves),
             opt_net=self.opt_net.init(self.state.params),
         )
         self._compile()
@@ -982,25 +995,36 @@ class PSVI:
         u = jnp.concatenate([self.state.u, new_u], axis=0)
         z = jnp.concatenate([self.state.z, new_z], axis=0)
         self.num_pseudo = to_size
+        joint_leaves = {"params": self.state.params, "u": u}
+        if self.spec.learn_v:
+            joint_leaves["v"] = v
         self.state = self.state._replace(
             u=u, z=z, v=v,
             opt_u=self.opt_u.init(u), opt_v=self.opt_v.init(v),
             opt_z=self.opt_z.init(z),
             opt_alpha=self.opt_alpha.init(self.state.alpha),
+            opt_joint=self.opt_joint.init(joint_leaves),
             opt_net=self.opt_net.init(self.state.params),
         )
         self._compile()
 
-    def _advance_increment_task(self, increment_idx: int):
-        """Swap in the grown train/test sets augmented with coreset replay
-        samples (ref :946-965)."""
-        self.key, k = jax.random.split(self.key)
+    def sample_replay_indices(self, key):
+        """Replay indices drawn from the CURRENT coreset's f(v) — must be
+        called BEFORE increment_coreset: the reference samples the
+        multinomial over the pre-increment weights (ref :952) and only then
+        grows the coreset, so the replay summarizes previous tasks without
+        the untrained new-class points."""
         _, fv = self._core_weights(self.state.v, self.state.alpha)
-        n_rep = self.train_data_so_far
-        samples = jax.random.choice(
-            k, self.state.u.shape[0], (n_rep,), replace=True,
-            p=fv / jnp.sum(fv),
+        return jax.random.choice(
+            key, self.state.u.shape[0], (self.train_data_so_far,),
+            replace=True, p=fv / jnp.sum(fv),
         )
+
+    def _advance_increment_task(self, increment_idx: int, samples):
+        """Swap in the grown train/test sets augmented with coreset replay
+        samples (ref :946-965). ``samples`` index the pre-increment coreset
+        (old points keep their leading positions through the increment, so
+        gathering from the enlarged u/z matches the reference :959-961)."""
         rep_u = np.asarray(self.state.u[samples])
         rep_z = np.asarray(self.state.z[samples])
         fx, fy = self._full_xy
@@ -1121,11 +1145,13 @@ class PSVI:
                 self.nc += 1
                 self._build_model()
                 self.weight_reset()
+                self.key, k_rep = jax.random.split(self.key)
+                replay = self.sample_replay_indices(k_rep)
                 self.increment_coreset(
                     self.increment_sizes[increment_idx],
                     new_class=increment_idx + 1, increment_idx=increment_idx,
                 )
-                self._advance_increment_task(increment_idx)
+                self._advance_increment_task(increment_idx, replay)
 
             it += 1
 
@@ -1333,6 +1359,10 @@ class PSVIRegressor(PSVI):
     # override dynamically.
     def _run_psvi_impl(self, **kwargs) -> dict:
         (lls, rmses, csizes, vs, times) = ([], [], [], [], [0.0])
+        if self.spec.learn_alpha:
+            # per-eval alpha trajectory (ref PSVIAV_regressor evaluate
+            # :2297-2304 appends self.alpha to results['alpha'])
+            self.results.setdefault("alpha", [])
         t_start = time.time()
         for it in range(self.num_epochs):
             self.key, k_step, k_eval = jax.random.split(self.key, 3)
@@ -1344,6 +1374,8 @@ class PSVIRegressor(PSVI):
                 times.append(times[-1] + time.time() - t_start)
                 _, fv = self._core_weights(self.state.v, self.state.alpha)
                 vs.append(np.asarray(fv))
+                if self.spec.learn_alpha:
+                    self.results["alpha"].append(np.asarray(self.state.alpha))
             self.state, aux = self._step(self.state, k_step)
         self.results.update(
             rmses=rmses, lls=lls, csizes=csizes, times=times[1:], vs=vs,

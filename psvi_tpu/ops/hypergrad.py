@@ -79,9 +79,8 @@ class HyperGrads(NamedTuple):
 
 
 def _outer_grads(outer_loss_fn, params, hyper):
-    (loss, _), (g_w, g_h) = (
-        (outer_loss_fn(params, hyper), None),
-        jax.grad(lambda p, h: outer_loss_fn(p, h), argnums=(0, 1))(params, hyper),
+    loss, (g_w, g_h) = jax.value_and_grad(outer_loss_fn, argnums=(0, 1))(
+        params, hyper
     )
     return loss, g_w, g_h
 

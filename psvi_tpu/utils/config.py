@@ -109,6 +109,10 @@ class MethodSpec:
     ablated: bool = False  # PSVI_Ablated objective (:1388-1408)
     single_sample_train: bool = False  # PSVI_No_IW (:1411-1472)
     evaluate_only: bool = False  # PSVIEvaluate (:1885-1934)
+    # apply exp(alpha) in f(v) with alpha FIXED (not optimized):
+    # PSVIEvaluate's f = exp(alpha)·softmax(v) with alpha.requires_grad_(False)
+    # (:1896-1901) — alpha is 0 unless loaded non-ablated from a saved run
+    alpha_fixed: bool = False
     increment_compatible: bool = True
     regressor: bool = False
 
@@ -133,6 +137,9 @@ METHOD_SPECS = {
         learn_u=False,
         learn_z=True,
         learn_alpha=False,
+        # f = exp(alpha)·softmax(v), alpha fixed (ref :1896-1901)
+        parameterised=True,
+        alpha_fixed=True,
         evaluate_only=True,
     ),
     "psvi_regressor": MethodSpec(regressor=True, learn_z=True),

@@ -230,3 +230,36 @@ def test_init_dataset_pool():
                inner_it=2, num_epochs=1, log_every=10, init_sd=1e-3,
                seed=0, init_dataset=(pool_x, pool_y))
     assert np.allclose(np.asarray(eng.state.u), 7.0)
+
+
+def test_psvi_evaluate_uses_softmax_weights():
+    """PSVIEvaluate's f = exp(alpha)·softmax(v) with alpha fixed
+    (ref psvi_classes.py:1896-1901) — raw-v weighting was a bug."""
+    import jax.numpy as jnp
+
+    from psvi_tpu.data import read_dataset
+    from psvi_tpu.inference.psvi import PSVI
+
+    data = read_dataset("halfmoon")
+    eng = PSVI(data, method="psvi_evaluate", num_pseudo=5, mc_samples=4,
+               inner_it=2, num_epochs=1, log_every=10, init_sd=1e-3, seed=0)
+    v = jnp.asarray([1.0, -2.0, 0.5, 0.0, 3.0])
+    alpha = jnp.asarray([0.7])
+    cw, fv = eng._core_weights(v, alpha)
+    expect = jnp.exp(alpha[0]) * jax.nn.softmax(v)
+    assert jnp.allclose(fv, expect)
+    assert jnp.allclose(cw, eng.N * expect)
+    assert (fv > 0).all()
+
+
+def test_joint_trainer_prune_runs(halfmoon):
+    """prune under the joint trainer must re-init opt_joint's moment trees
+    to the new coreset shape (regression: shape-mismatch crash)."""
+    from psvi_tpu.inference.psvi import PSVI
+
+    eng = PSVI(halfmoon, method="psvi_learn_v", num_pseudo=8, mc_samples=4,
+               trainer="joint", num_epochs=5, log_every=2, init_sd=1e-3,
+               seed=0, prune=True, prune_interval=2, prune_sizes=[4])
+    res = eng.run_psvi()
+    assert res["csizes"][-1] == 4
+    assert all(np.isfinite(res["accs"]))
