@@ -175,8 +175,19 @@ def run_giga(
 
         if it % log_every == 0:
             key, k = jax.random.split(key)
+            w_eval = jnp.asarray(w[core_idcs])
+            if mcmc and core_idcs:
+                # GIGA's w lives on the normalized-log-likelihood scale;
+                # the MCMC predictive needs the data-count rescaling
+                # w_pred = w·||ΣL|| / ||ℓ_core||·(lw·ℓ̂) (ref :325-331).
+                # The Laplace branch uses raw w, matching ref :335-345.
+                w_eval = (
+                    w_eval * jnp.linalg.norm(sum_lls)
+                    / jnp.linalg.norm(ll_core, axis=1)
+                    * jnp.dot(lw, norm_sumlls)
+                )
             acc, nll = _eval_laplace(
-                k, x_aug[core_arr], y[core_arr], jnp.asarray(w[core_idcs]),
+                k, x_aug[core_arr], y[core_arr], w_eval,
                 xt_aug, yt, 100, S, lr0net, mcmc=mcmc,
             )
             times.append(times[-1] + time.time() - t0)
@@ -260,7 +271,7 @@ def run_sparsevi(
     def _select_stats(k, xc, yc, wc, mask, sub_x, sub_y):
         samples = LR.run_laplace(
             k, xc, yc, wc, inner_it=inner_it,
-            mc_samples=mc_samples, lr0net=lr0net,
+            mc_samples=mc_samples, diagonal=diagonal, lr0net=lr0net,
         )
         cll_data = _centered_lls(samples, sub_x, sub_y)
         cll_core = _centered_lls(samples, xc, yc)
@@ -281,7 +292,7 @@ def run_sparsevi(
         # outer_it weight loop keeps refining it (baselines.py:588-604)
         samples, theta = LR.run_laplace_from(
             k, theta, xc, yc, wc, inner_it=inner_it,
-            mc_samples=mc_samples, lr0net=lr0net,
+            mc_samples=mc_samples, diagonal=diagonal, lr0net=lr0net,
         )
         cll_data = _centered_lls(samples, sub_x, sub_y)
         cll_core = _centered_lls(samples, xc, yc)
@@ -323,7 +334,10 @@ def run_sparsevi(
                 m += 1
 
         # projected weight updates (ref :585-638); theta fresh per epoch,
-        # refined across the outer_it iterations
+        # refined across the outer_it iterations. The weight Adam is
+        # constructed FRESH each epoch in the reference (:588), resetting
+        # moments and bias correction.
+        opt_w_state = opt_w.init(wc)
         key, k_th = jax.random.split(key)
         theta_w = jax.random.normal(k_th, (Dp,))
         for _ in range(outer_it):
@@ -344,8 +358,8 @@ def run_sparsevi(
 def run_opsvi(
     x=None, y=None, xt=None, yt=None, mc_samples=10, data_minibatch=128,
     num_epochs=100, log_every=10, N=None, D=None, num_pseudo=10,
-    inner_it=10, lr0net=1e-3, lr0u=1e-3, lr0v=1e-3, init_args="subsample",
-    seed=0, log_pseudodata=False, **kwargs,
+    inner_it=10, diagonal=True, lr0net=1e-3, lr0u=1e-3, lr0v=1e-3,
+    init_args="subsample", seed=0, log_pseudodata=False, **kwargs,
 ) -> Dict[str, Any]:
     """Original PSVI (Manousakas et al 2020): fixed-size pseudocoreset with
     manual gradients for weights and locations (ref :652-821)."""
@@ -391,7 +405,7 @@ def run_opsvi(
     def _grads(k, theta, u, z, w, sub_x, sub_y):
         samples, theta = LR.run_laplace_from(
             k, theta, u, z, w, inner_it=inner_it, mc_samples=mc_samples,
-            lr0net=lr0net,
+            diagonal=diagonal, lr0net=lr0net,
         )
         def core_resid_fn(u_in):
             cll_data = _centered_lls(samples, sub_x, sub_y)
@@ -418,7 +432,7 @@ def run_opsvi(
             key, k = jax.random.split(key)
             samples, theta = LR.run_laplace_from(
                 k, theta, u, z, w, inner_it=inner_it,
-                mc_samples=mc_samples, lr0net=lr0net,
+                mc_samples=mc_samples, diagonal=diagonal, lr0net=lr0net,
             )
             probs = LR.logreg_forward(samples, xt_aug)
             acc = float(jnp.mean((probs > 0.5).astype(jnp.float32) == yt))

@@ -107,7 +107,10 @@ class MeanFieldVI:
                 def loss_fn(p):
                     out = self.net.apply(p, eps, xb)
                     nll = E.categorical_nll(out, yb) * m[None, :]
-                    scaling = self.n_train / self.B
+                    # ref scales by n_train/len(batch) per ACTUAL batch
+                    # size (inference/utils.py:300-320) — the padded final
+                    # batch must use its real row count, not B
+                    scaling = self.n_train / jnp.sum(m)
                     return scaling * jnp.sum(nll) + self.net.kl(p)
 
                 loss, g = jax.value_and_grad(loss_fn)(params)
@@ -597,7 +600,6 @@ class CoresetSelect:
                  last_layer_only=False, multiple_pts_per_cluster=True,
                  loaded_from_psvi=False, alpha_dirichlet=0.0,
                  choose_difficult=True, n_channels=1, **kw):
-        self.args = dict(locals())
         self.x, self.y, self.xt, self.yt = x, y, xt, yt
         self.num_pseudo, self.nc = num_pseudo, nc
         self.architecture = architecture

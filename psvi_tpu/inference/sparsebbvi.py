@@ -78,11 +78,18 @@ def run_sparsevi_with_bb_elbo(
     @jax.jit
     def inner_steps(params, opt_state, cx, cy, cw, key):
         """inner_it ELBO steps on the coreset support (ref :133-141;
-        elbo at utils.py:85-91: pseudo_nll·w − sampled_nkl, summed)."""
+        elbo at utils.py:85-91: pseudo_nll·w − sampled_nkl, summed).
+
+        Gradients ACCUMULATE across the inner loop: the reference calls
+        ``optim_net0.zero_grad()`` once per epoch (ref :134) and then
+        ``loss.backward(); step()`` inner_it times without re-zeroing, so
+        step t applies the SUM of gradients 1..t — a quirk replicated here
+        (the Adam moments also persist across epochs, as there)."""
         keys = jax.random.split(key, inner_it)
+        g0 = jax.tree_util.tree_map(jnp.zeros_like, params)
 
         def body(carry, k):
-            params, opt_state = carry
+            params, opt_state, g_acc = carry
             eps = net.sample_eps(k, S)
 
             def loss_fn(p):
@@ -94,11 +101,12 @@ def run_sparsevi_with_bb_elbo(
                 return S * jnp.sum(pseudo_nll) - jnp.sum(nkl)
 
             loss, g = jax.value_and_grad(loss_fn)(params)
-            params, opt_state = opt_net.step(params, g, opt_state)
-            return (params, opt_state), loss
+            g_acc = jax.tree_util.tree_map(jnp.add, g_acc, g)
+            params, opt_state = opt_net.step(params, g_acc, opt_state)
+            return (params, opt_state, g_acc), loss
 
-        (params, opt_state), losses = jax.lax.scan(
-            body, (params, opt_state), keys
+        (params, opt_state, _), losses = jax.lax.scan(
+            body, (params, opt_state, g0), keys
         )
         return params, opt_state, losses
 
@@ -214,6 +222,10 @@ def run_sparsevi_with_bb_elbo(
         )
         max_core = float(jnp.max(corecorrs)) if n_core > 0 else -np.inf
         if n_core == 0 or float(jnp.max(corrs)) > max_core:
+            # intentional divergence: the reference computes
+            # sub_idcs[argmax(max(corrs))] (sparsebbvi.py:169) — argmax of a
+            # SCALAR is always 0, so it adds the first minibatch element
+            # regardless of correlation. We pick the true argmax.
             pt = int(sub_idcs[int(jnp.argmax(corrs))])
             if pt not in core_ids[:n_core]:
                 core_ids[n_core] = pt

@@ -148,7 +148,13 @@ class VILinear(Layer):
 
     def apply(self, params, eps, x):
         # x: (S, N, in) or (N, in) unbatched ; w: (S, out, in) ; b: (S, out)
-        if x.ndim == 3 and self.backend == "pallas" and self.use_bias:
+        # The Pallas kernel is f32-only (no bf16 tiling path); with mixed
+        # precision it would receive f32 params / bf16 activations, so the
+        # combination falls back to the XLA formulation.
+        if (
+            x.ndim == 3 and self.backend == "pallas" and self.use_bias
+            and self.compute_dtype == "float32"
+        ):
             from psvi_tpu.ops.pallas_vi import sampled_linear
 
             return sampled_linear(

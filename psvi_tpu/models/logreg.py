@@ -10,8 +10,8 @@ JAX re-design of ``psvi/models/logreg.py``:
 
 Stan/NUTS sampling (``mcmc_sample``, ref :68-92) is dead code in the
 reference (the ``import stan`` is commented out and every baseline defaults
-``mcmc=False``); we expose ``mcmc_sample`` raising ``NotImplementedError``
-for surface parity.
+``mcmc=False``); here ``mcmc_sample`` is a REAL jitted NUTS sampler
+(``psvi_tpu/ops/nuts.py``) — the ``mcmc=True`` branches actually work.
 """
 
 from __future__ import annotations
