@@ -340,11 +340,11 @@ def read_regression_dataset(dnm, seed=0, num_test=100, data_dir="data/"):
     # The reference passes p_split=(-1, 0.1, num_test) mixing a fraction and
     # a count (experiments_utils.py:163); we resolve it explicitly: num_test
     # points for test, 10% for validation, the rest for training.
-    (X, Y), idx = get_regression_benchmark(
-        dnm, seed=seed, data_dir=data_dir,
-        n_split=None, p_split=(0.6, 0.2, 0.2),
+    (X, Y), _ = get_regression_benchmark(
+        dnm, seed=seed, data_dir=data_dir, n_split=(0, 0, 0), shuffle=False,
     )
-    # recompute with explicit counts
+    # split with explicit counts (the benchmark loader's own split is
+    # unused — its kwargs above make it a no-op)
     N_total = len(X)
     n_val = int(np.ceil(0.1 * N_total))
     n_te = int(num_test) if num_test >= 1 else int(np.ceil(num_test * N_total))

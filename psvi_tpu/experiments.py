@@ -159,7 +159,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--outer_it", type=int, default=100)
     p.add_argument("--trainer", type=str, default="nested",
                    choices=["nested", "hyper", "joint", "alternating"])
-    p.add_argument("--diagonal", action="store_true", default=True)
+    p.add_argument("--diagonal", action=argparse.BooleanOptionalAction,
+                   default=True)
     p.add_argument("--architecture", type=str, default="logistic_regression")
     p.add_argument("--n_hidden", type=int, default=40)
     p.add_argument("--n_layers", type=int, default=1)
@@ -197,13 +198,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--distance_fn", type=str, default="euclidean")
     p.add_argument("--last_layer_only", action="store_true", default=False)
     p.add_argument("--loaded_from_psvi", action="store_true", default=False)
-    p.add_argument("--multiple_pts_per_cluster", action="store_true",
-                   default=True)
-    p.add_argument("--choose_difficult", action="store_true", default=True)
+    p.add_argument("--multiple_pts_per_cluster",
+                   action=argparse.BooleanOptionalAction, default=True)
+    p.add_argument("--choose_difficult",
+                   action=argparse.BooleanOptionalAction, default=True)
     p.add_argument("--scoring_run", action="store_true", default=False)
     p.add_argument("--alpha_dirichlet", type=float, default=0.0)
-    p.add_argument("--compute_weights_entropy", action="store_true",
-                   default=True)
+    p.add_argument("--compute_weights_entropy",
+                   action=argparse.BooleanOptionalAction, default=True)
     p.add_argument("--num_test", type=int, default=100)
     p.add_argument("--tau", type=float, default=0.1)
     p.add_argument("--seed", type=int, default=0)

@@ -29,8 +29,9 @@ class RunFrequentistModel:
     """Train/test/score driver (ref ``RunFrequentistModel``, :34-181).
 
     ``is_logreg=True``: binary logistic regression with BCE loss;
-    otherwise a one-hidden-layer ReLU classifier with cross-entropy
-    (ref ``FreqOneLayer``).
+    otherwise a single linear layer D→num_classes with cross-entropy
+    (ref ``FreqOneLayer``, frequentist_models.py:8-16 — one nn.Linear,
+    no hidden layer).
     """
 
     def __init__(self, x, y, xt, yt, num_classes=2, n_hidden=100,
@@ -50,19 +51,14 @@ class RunFrequentistModel:
         if is_logreg:
             self.params = {"out": _init_linear(k1, D, 1)}
         else:
-            self.params = {
-                "hid": _init_linear(k1, D, n_hidden),
-                "out": _init_linear(k2, n_hidden, num_classes),
-            }
+            # FreqOneLayer = one linear layer (ref :14-16)
+            self.params = {"out": _init_linear(k1, D, num_classes)}
         self.opt = O.adam(lr)
         self.opt_state = self.opt.init(self.params)
         self._step = jax.jit(self._train_step)
 
     def _forward(self, params, x):
-        if self.is_logreg:
-            return x @ params["out"]["w"].T + params["out"]["b"]  # (N, 1)
-        h = jax.nn.relu(x @ params["hid"]["w"].T + params["hid"]["b"])
-        return h @ params["out"]["w"].T + params["out"]["b"]
+        return x @ params["out"]["w"].T + params["out"]["b"]
 
     def _loss(self, params, xb, yb):
         out = self._forward(params, xb)

@@ -153,10 +153,25 @@ class KmeansCluster:
         per[-1] = total - sum(per[:-1])
         rng = np.random.default_rng(self.seed)
         out = []
+        shortfall = 0
         for members, n in zip(self.cluster_members, per):
             n_take = min(max(n, 0), len(members))
+            shortfall += max(n, 0) - n_take
             if n_take:
                 out += list(rng.choice(members, n_take, replace=False))
+        if shortfall:
+            # a cluster smaller than its quota: redistribute the deficit
+            # over the remaining unchosen points so the requested count is
+            # honored (the reference CRASHES here — np.random.choice with
+            # replace=False on an undersized cluster, utils.py:598-607)
+            chosen = set(out)
+            pool = np.asarray([
+                m for members in self.cluster_members for m in members
+                if m not in chosen
+            ])
+            extra = min(shortfall, len(pool))
+            if extra:
+                out += list(rng.choice(pool, extra, replace=False))
         return out
 
 
@@ -183,7 +198,9 @@ class KmeansOnDevice(KmeansCluster):
                 nearest = np.asarray(nearest_index(Xi, cents))
                 centers += list(idx[nearest])
         else:
-            k = self.pts_per_class
+            # unbalanced: one global clustering with num_clusters centroids
+            # (the balanced branch uses pts_per_class PER CLASS)
+            k = self.num_clusters
             cents, _ = self._fit(key, X, k)
             centers = list(np.asarray(nearest_index(jnp.asarray(X), cents)))
         self.cluster_centers = centers

@@ -65,8 +65,14 @@ class _Trajectory(NamedTuple):
     turning: jnp.ndarray
 
 
-def _uturn(q_l, p_l, q_r, p_r, inv_mass):
-    dq = q_r - q_l
+def _uturn(q_l, p_l, q_r, p_r, inv_mass, direction=1.0):
+    """U-turn criterion for a trajectory segment whose endpoints are given
+    in GENERATION order. ``direction`` = sign of the integration step:
+    for backward integration (eps<0) the earlier-generated endpoint lies
+    LATER in trajectory time, so Δq must be flipped to trajectory order —
+    without this, dot(Δq, p) < 0 holds on every straight backward segment
+    and backward subtrees terminate spuriously."""
+    dq = (q_r - q_l) * direction
     return (jnp.dot(dq, p_l * inv_mass) < 0.0) | (
         jnp.dot(dq, p_r * inv_mass) < 0.0
     )
@@ -147,7 +153,9 @@ def _nuts_transition(
                     k, turning = kc
                     ql = ckpt_q[pc - k]
                     pl = ckpt_p[pc - k]
-                    return k + 1, turning | _uturn(ql, pl, q, p, inv_mass)
+                    return k + 1, turning | _uturn(
+                        ql, pl, q, p, inv_mass, direction=jnp.sign(eps)
+                    )
 
                 _, turning = jax.lax.while_loop(
                     turn_cond, turn_body, (jnp.int32(1), jnp.bool_(False))

@@ -36,17 +36,24 @@ class TrialParallelPSVI:
     ):
         spec = METHOD_SPECS[method]
         cls = PSVIRegressor if spec.regressor else PSVI
-        # one engine per trial (identical static config, different seeds) —
-        # engines carry the pure step functions; states get stacked
-        self.engines = [
-            cls(data, method=method, seed=t, **engine_kwargs)
-            for t in range(num_trials)
-        ]
-        self.base = self.engines[0]
-        self.num_trials = num_trials
         self.mesh = mesh if mesh is not None else make_mesh(trial=1)
+        # the stacked-trial leading axis shards over 'trial' — pad the
+        # trial count up to a multiple of the axis size (extra seeds run
+        # as real trials; run() returns only the requested ones)
+        axis = self.mesh.shape["trial"]
+        self.num_trials = num_trials
+        self._padded_trials = -(-num_trials // axis) * axis
+        # one engine per trial (identical static config, different seeds) —
+        # the base engine carries the pure step functions; states get
+        # stacked, so the per-trial engines are dropped after init (each
+        # pins device copies of the dataset otherwise)
+        self.base = cls(data, method=method, seed=0, **engine_kwargs)
+        states = [self.base.state]
+        for t in range(1, self._padded_trials):
+            self.base.reseed(t)
+            states.append(self.base.state)
+        self.base.reseed(0)
 
-        states = [e.state for e in self.engines]
         stacked = tmap(lambda *xs: jnp.stack(xs), *states)
         self.states = shard_pytree_leading(stacked, self.mesh, "trial")
 
@@ -56,7 +63,7 @@ class TrialParallelPSVI:
         self._veval = jax.jit(jax.vmap(eval_fn))
 
         self.keys = jnp.stack(
-            [trial_key(self.base.seed + 1000, t) for t in range(num_trials)]
+            [trial_key(1000, t) for t in range(self._padded_trials)]
         )
         self.keys = shard_pytree_leading(self.keys, self.mesh, "trial")
 

@@ -120,3 +120,26 @@ def test_run_random_mcmc_eval():
     )
     assert len(res["accs"]) == 3
     assert res["accs"][-1] > 0.75
+
+
+def test_uturn_direction_backward_segment():
+    """A straight-line BACKWARD (eps<0) segment must not be flagged as a
+    U-turn (regression: the unsigned criterion flagged every leftward
+    subtree, truncating half of all NUTS trajectories)."""
+    import jax.numpy as jnp
+
+    from psvi_tpu.ops.nuts import _uturn
+
+    p = jnp.ones(3)
+    q0 = jnp.zeros(3)
+    h = 0.1
+    # generated in order while integrating backward: ckpt first, cur second
+    q_ckpt = q0 - h * p
+    q_cur = q0 - 2 * h * p
+    inv_m = jnp.ones(3)
+    assert not bool(_uturn(q_ckpt, p, q_cur, p, inv_m, direction=-1.0))
+    # forward straight segment, generation order = trajectory order
+    assert not bool(_uturn(q0 + h * p, p, q0 + 2 * h * p, p, inv_m,
+                           direction=1.0))
+    # an actual U-turn (momentum flipped against displacement) is caught
+    assert bool(_uturn(q_ckpt, -p, q_cur, -p, inv_m, direction=-1.0))

@@ -84,3 +84,21 @@ def test_dryrun_multichip_entry():
     fn, args = g.entry()
     out = jax.jit(fn)(*args)
     assert np.isfinite(float(out))
+
+
+@needs_8
+def test_trial_parallel_pads_indivisible_counts(halfmoon):
+    """num_trials not divisible by the trial axis: padded internally,
+    only the requested trials returned (regression: device_put crash)."""
+    mesh = make_mesh(trial=8)
+    tp = TrialParallelPSVI(
+        halfmoon, num_trials=3, method="psvi_learn_v", mesh=mesh,
+        num_pseudo=6, mc_samples=4, architecture="logistic_regression",
+        inner_it=2, num_epochs=4, data_minibatch=32, log_every=2,
+        init_sd=1e-3,
+    )
+    res = tp.run()
+    assert len(res) == 3
+    for r in res:
+        assert len(r["accs"]) == 2
+        assert all(np.isfinite(r["accs"]))
