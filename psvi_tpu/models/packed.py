@@ -182,7 +182,14 @@ class PackedMeanField:
                 x = layer.apply({}, {}, x)
         if x.dtype != jnp.float32:
             x = x.astype(jnp.float32)
-        if x.ndim == in_ndim:
+        if x.ndim == in_ndim and not any(
+            l.is_variational for l in self.base.layers
+        ):
+            # mirror Sequential.apply (layers.py:704): broadcast only when
+            # NO variational layer added the S axis. A packed net always
+            # has variational segments, so S-batched (S, N, D) input —
+            # whose output ndim equals the input ndim — is returned as-is
+            # instead of being wrongly re-broadcast to (S, S, N, nc).
             x = jnp.broadcast_to(x[None], (S,) + x.shape)
         return x
 

@@ -11,6 +11,7 @@ distances. Compiled on first use with g++ into a cached shared object;
 from __future__ import annotations
 
 import ctypes
+import hashlib
 import os
 import subprocess
 import threading
@@ -19,18 +20,40 @@ import numpy as np
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
 _SRC = os.path.join(_HERE, "kmeans.cpp")
-_SO = os.path.join(_HERE, "libpsvi_native.so")
 _lock = threading.Lock()
 _lib = None
 _build_error = None
 
 
-def _build():
+def _so_path():
+    """Cache path keyed by the SOURCE CONTENT and the host machine.
+
+    Content hashing (not mtimes) makes staleness robust to git checkouts,
+    and the machine key prevents loading a -march=native binary built on
+    a CPU with different ISA extensions (SIGILL otherwise)."""
+    h = hashlib.sha256()
+    with open(_SRC, "rb") as f:
+        h.update(f.read())
+    h.update(os.uname().machine.encode())
+    try:
+        h.update(subprocess.run(
+            ["g++", "-dumpversion"], capture_output=True, check=True
+        ).stdout)
+    except Exception:
+        pass
+    return os.path.join(_HERE, f"libpsvi_native-{h.hexdigest()[:16]}.so")
+
+
+def _build(so):
+    # compile to a temp file and os.replace (atomic): a concurrent process
+    # can never dlopen a half-written library
+    tmp = f"{so}.tmp.{os.getpid()}"
     cmd = [
         "g++", "-O3", "-march=native", "-shared", "-fPIC", "-fopenmp",
-        "-std=c++17", _SRC, "-o", _SO,
+        "-std=c++17", _SRC, "-o", tmp,
     ]
     subprocess.run(cmd, check=True, capture_output=True)
+    os.replace(tmp, so)
 
 
 def _load():
@@ -39,11 +62,10 @@ def _load():
         if _lib is not None or _build_error is not None:
             return _lib
         try:
-            if not os.path.exists(_SO) or (
-                os.path.getmtime(_SO) < os.path.getmtime(_SRC)
-            ):
-                _build()
-            lib = ctypes.CDLL(_SO)
+            so = _so_path()
+            if not os.path.exists(so):
+                _build(so)
+            lib = ctypes.CDLL(so)
             lib.kmeans_fit.restype = ctypes.c_double
             lib.kmeans_fit.argtypes = [
                 ctypes.POINTER(ctypes.c_float), ctypes.c_int64,

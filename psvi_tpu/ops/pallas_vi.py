@@ -169,7 +169,7 @@ def _box_muller(shape):
 def _prng_fwd_kernel(seed_ref, x_ref, muw_ref, rhow_ref, mub_ref, rhob_ref,
                      out_ref):
     s = pl.program_id(0)
-    pltpu.prng_seed(seed_ref[0] + s)
+    pltpu.prng_seed(seed_ref[0], s)
     eps_w = _box_muller(muw_ref.shape)
     eps_b = _box_muller(mub_ref.shape)
     w = muw_ref[:] + jax.nn.softplus(rhow_ref[:]) * eps_w
@@ -184,7 +184,7 @@ def _prng_fwd_kernel(seed_ref, x_ref, muw_ref, rhow_ref, mub_ref, rhob_ref,
 
 def _prng_dx_kernel(seed_ref, g_ref, muw_ref, rhow_ref, out_ref):
     s = pl.program_id(0)
-    pltpu.prng_seed(seed_ref[0] + s)
+    pltpu.prng_seed(seed_ref[0], s)
     eps_w = _box_muller(muw_ref.shape)
     w = muw_ref[:] + jax.nn.softplus(rhow_ref[:]) * eps_w
     # dx = g @ w : (TN, Dout) x (Dout, Din) -> (TN, Din)
@@ -197,25 +197,30 @@ def _prng_dx_kernel(seed_ref, g_ref, muw_ref, rhow_ref, out_ref):
 
 def _prng_dparam_kernel(seed_ref, g_ref, x_ref, rhow_ref, rhob_ref,
                         dmuw_ref, drhow_ref, dmub_ref, drhob_ref):
+    # grid (S, N//TN): tiles over N so the g/x blocks stay VMEM-sized at
+    # large batch; partial (Dout, Din) products accumulate into the
+    # outputs across sequential grid iterations. Reseeding per tile
+    # regenerates the same eps for every tile of sample s.
     s = pl.program_id(0)
-    pltpu.prng_seed(seed_ref[0] + s)
+    i = pl.program_id(1)
+    pltpu.prng_seed(seed_ref[0], s)
     eps_w = _box_muller(rhow_ref.shape)
     eps_b = _box_muller(rhob_ref.shape)
-    dw = jax.lax.dot_general(  # (Dout, Din) = g[s]^T @ x[s]
+    dw = jax.lax.dot_general(  # (Dout, Din) = g[s,tile]^T @ x[s,tile]
         g_ref[0], x_ref[0],
         dimension_numbers=(((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
     db = jnp.sum(g_ref[0], axis=0, keepdims=True)  # (1, Dout)
 
-    @pl.when(s == 0)
+    @pl.when((s == 0) & (i == 0))
     def _():
         dmuw_ref[:] = dw
         drhow_ref[:] = dw * eps_w
         dmub_ref[:] = db
         drhob_ref[:] = db * eps_b
 
-    @pl.when(s > 0)
+    @pl.when((s > 0) | (i > 0))
     def _():
         dmuw_ref[:] = dmuw_ref[:] + dw
         drhow_ref[:] = drhow_ref[:] + dw * eps_w
@@ -226,7 +231,7 @@ def _prng_dparam_kernel(seed_ref, g_ref, x_ref, rhow_ref, rhob_ref,
 def _prng_nkl_kernel(seed_ref, muw_ref, rhow_ref, mub_ref, rhob_ref,
                      prior_ref, out_ref):
     s = pl.program_id(0)
-    pltpu.prng_seed(seed_ref[0] + s)
+    pltpu.prng_seed(seed_ref[0], s)
     eps_w = _box_muller(muw_ref.shape)
     eps_b = _box_muller(mub_ref.shape)
     prior_sd = prior_ref[0, 0]
@@ -252,12 +257,13 @@ def sampled_linear_prng(x, mu_w, rho_w, mu_b, rho_b, seed, tile_n: int = 512):
     seed: int32 scalar array. Use `vi_linear_nkl_prng` with the SAME seed to
     get the matching per-sample log p(θ)−log q(θ).
     """
-    return _sampled_linear_prng_vjp(x, mu_w, rho_w, mu_b, rho_b, seed)
+    return _sampled_linear_prng_vjp(x, mu_w, rho_w, mu_b, rho_b, seed,
+                                    tile_n)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=())
-def _sampled_linear_prng_vjp(x, mu_w, rho_w, mu_b, rho_b, seed):
-    return _prng_forward(x, mu_w, rho_w, mu_b, rho_b, seed)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6,))
+def _sampled_linear_prng_vjp(x, mu_w, rho_w, mu_b, rho_b, seed, tile_n):
+    return _prng_forward(x, mu_w, rho_w, mu_b, rho_b, seed, tile_n)
 
 
 def _prng_forward(x, mu_w, rho_w, mu_b, rho_b, seed, tile_n: int = 512):
@@ -284,16 +290,16 @@ def _prng_forward(x, mu_w, rho_w, mu_b, rho_b, seed, tile_n: int = 512):
     return out[:, :N, :]
 
 
-def _prng_fwd_rule(x, mu_w, rho_w, mu_b, rho_b, seed):
-    y = _prng_forward(x, mu_w, rho_w, mu_b, rho_b, seed)
+def _prng_fwd_rule(x, mu_w, rho_w, mu_b, rho_b, seed, tile_n):
+    y = _prng_forward(x, mu_w, rho_w, mu_b, rho_b, seed, tile_n)
     return y, (x, mu_w, rho_w, mu_b, rho_b, seed)
 
 
-def _prng_bwd_rule(res, g):
+def _prng_bwd_rule(tile_n, res, g):
     x, mu_w, rho_w, mu_b, rho_b, seed = res
     S, N, Din = x.shape
     Dout = mu_w.shape[0]
-    TN = min(512, _ceil_to(N, 8))
+    TN = min(tile_n, _ceil_to(N, 8))
     Np = _ceil_to(N, TN)
     gp = jnp.pad(g, ((0, 0), (0, Np - N), (0, 0))) if Np != N else g
     xp = jnp.pad(x, ((0, 0), (0, Np - N), (0, 0))) if Np != N else x
@@ -320,19 +326,19 @@ def _prng_bwd_rule(res, g):
             jax.ShapeDtypeStruct((1, Dout), jnp.float32),
             jax.ShapeDtypeStruct((1, Dout), jnp.float32),
         ),
-        grid=(S,),
+        grid=(S, Np // TN),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, Np, Dout), lambda s: (s, 0, 0)),
-            pl.BlockSpec((1, Np, Din), lambda s: (s, 0, 0)),
-            pl.BlockSpec((Dout, Din), lambda s: (0, 0)),
-            pl.BlockSpec((1, Dout), lambda s: (0, 0)),
+            pl.BlockSpec((1, TN, Dout), lambda s, i: (s, i, 0)),
+            pl.BlockSpec((1, TN, Din), lambda s, i: (s, i, 0)),
+            pl.BlockSpec((Dout, Din), lambda s, i: (0, 0)),
+            pl.BlockSpec((1, Dout), lambda s, i: (0, 0)),
         ],
         out_specs=(
-            pl.BlockSpec((Dout, Din), lambda s: (0, 0)),
-            pl.BlockSpec((Dout, Din), lambda s: (0, 0)),
-            pl.BlockSpec((1, Dout), lambda s: (0, 0)),
-            pl.BlockSpec((1, Dout), lambda s: (0, 0)),
+            pl.BlockSpec((Dout, Din), lambda s, i: (0, 0)),
+            pl.BlockSpec((Dout, Din), lambda s, i: (0, 0)),
+            pl.BlockSpec((1, Dout), lambda s, i: (0, 0)),
+            pl.BlockSpec((1, Dout), lambda s, i: (0, 0)),
         ),
     )(seed_arr, gp, xp, rho_w, rho_b.reshape(1, -1))
 

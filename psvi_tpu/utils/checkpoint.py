@@ -21,29 +21,36 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def _norm_path(path: str) -> str:
+    # np.savez appends '.npz' when absent; normalize so save/load agree
+    return path if path.endswith(".npz") else path + ".npz"
+
+
 def save_state(path: str, state: Any, extra: dict = None):
     leaves, _ = jax.tree_util.tree_flatten(state)
     arrays = {f"leaf_{i}": np.asarray(l) for i, l in enumerate(leaves)}
     if extra:
         for k, v in extra.items():
             arrays[f"extra_{k}"] = np.asarray(v)
+    path = _norm_path(path)
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     np.savez(path, **arrays)
 
 
 def load_state(path: str, template: Any):
     """Restore into the pytree structure of `template`."""
-    d = np.load(path)
+    d = np.load(_norm_path(path))
     leaves, treedef = jax.tree_util.tree_flatten(template)
     new_leaves = []
     for i, leaf in enumerate(leaves):
         arr = d[f"leaf_{i}"]
-        if arr.shape != np.asarray(leaf).shape:
+        # jax/numpy leaves expose shape/dtype without a device transfer
+        if arr.shape != tuple(getattr(leaf, "shape", ())):
             raise ValueError(
                 f"checkpoint leaf {i} shape {arr.shape} != template "
-                f"{np.asarray(leaf).shape}; config mismatch"
+                f"{getattr(leaf, 'shape', ())}; config mismatch"
             )
-        new_leaves.append(jnp.asarray(arr, np.asarray(leaf).dtype))
+        new_leaves.append(jnp.asarray(arr, getattr(leaf, "dtype", None)))
     extra = {
         k[len("extra_"):]: d[k] for k in d.files if k.startswith("extra_")
     }

@@ -22,10 +22,9 @@ import numpy as np
 def recursive_dict():
     import collections
 
-    def f():
-        return collections.defaultdict(f)
-
-    return collections.defaultdict(f)
+    # module-level factory so the resulting dicts are picklable by
+    # save_results (a local closure as default_factory is not)
+    return collections.defaultdict(recursive_dict)
 
 
 def _to_jsonable(obj):

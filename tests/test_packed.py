@@ -131,3 +131,26 @@ def test_engine_packed_lenet_steps_finite():
     assert np.all(np.isfinite(losses))
     for leaf in jax.tree_util.tree_leaves(s):
         assert np.all(np.isfinite(np.asarray(leaf)))
+
+
+def test_packed_sbatched_input_shape():
+    """S-batched (S, N, D) input must come back (S, N, nc), not re-broadcast
+    to (S, S, N, nc) (regression: broadcast guard missing the
+    is_variational condition Sequential.apply has)."""
+    import jax
+    import jax.numpy as jnp
+
+    from psvi_tpu.models.networks import make_fcnet
+    from psvi_tpu.models.packed import pack_net
+
+    net = make_fcnet(2, 8, 2, n_layers=1, init_sd=1e-2)
+    pnet = pack_net(net)
+    params = pnet.init(jax.random.PRNGKey(0))
+    S, N = 3, 5
+    eps = pnet.sample_eps(jax.random.PRNGKey(1), S)
+    x = jax.random.normal(jax.random.PRNGKey(2), (S, N, 2))
+    out = pnet.apply(params, eps, x)
+    assert out.shape == (S, N, 2)
+    # unbatched input still gains the S axis
+    out2 = pnet.apply(params, eps, x[0])
+    assert out2.shape == (S, N, 2)
