@@ -136,8 +136,22 @@ def main():
             a = np.asarray(results[(name, M)], float)
             row.append(f"{np.nanmean(a):.3f} ± {np.nanstd(a):.3f}")
         lines.append("| " + " | ".join(row) + " |")
+    # preserve hand-maintained sections (## four_blobs onward) across
+    # regenerations of the comparison table
+    extra = ""
+    try:
+        with open("/root/repo/BENCHMARKS.md") as f:
+            old = f.read()
+        for marker in ("## four_blobs", "## Flagship step anatomy",
+                       "## Per-trainer", "## Shape scaling"):
+            i = old.find(marker)
+            if i >= 0:
+                extra = "\n" + old[i:]
+                break
+    except FileNotFoundError:
+        pass
     with open("/root/repo/BENCHMARKS.md", "w") as f:
-        f.write("\n".join(lines) + "\n")
+        f.write("\n".join(lines) + "\n" + extra)
     print("\n".join(lines))
 
 
