@@ -159,6 +159,16 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--outer_it", type=int, default=100)
     p.add_argument("--trainer", type=str, default="nested",
                    choices=["nested", "hyper", "joint", "alternating"])
+    p.add_argument("--hypergrad_approx", type=str, default="cg_normaleq",
+                   choices=["cg_normaleq", "fixed_point", "neumann"],
+                   help="AID solver for --trainer hyper (ref hyper_step "
+                        "dispatch, psvi_classes.py:610,658-675)")
+    p.add_argument("--hyper_K", type=int, default=30,
+                   help="AID solver iterations (ref K=30, "
+                        "psvi_classes.py:664)")
+    p.add_argument("--linsys_lr", type=float, default=1e-4,
+                   help="fixed-point AID contraction step size "
+                        "(ref linsys_lr, psvi_classes.py:662)")
     p.add_argument("--diagonal", action=argparse.BooleanOptionalAction,
                    default=True)
     p.add_argument("--architecture", type=str, default="logistic_regression")
@@ -233,6 +243,21 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--inner_unroll", type=int, default=2,
                    help="lax.scan unroll factor for the inner loop "
                         "(numerics-identical; 2 is fastest measured)")
+    p.add_argument("--debug_nans", action="store_true", default=False,
+                   help="enable jax_debug_nans — every jitted computation "
+                        "re-runs op-by-op on a NaN and raises at the "
+                        "producing op (the analog of the reference's "
+                        "torch.autograd.set_detect_anomaly(True), "
+                        "psvi_experiments.py:48)")
+    p.add_argument("--fp64", action="store_true", default=False,
+                   help="enable jax_enable_x64 (float64 default dtypes) "
+                        "for numerics debugging; TPU hardware runs f64 "
+                        "via software emulation — expect a large slowdown")
+    p.add_argument("--backend", type=str, default="xla",
+                   choices=["xla", "pallas"],
+                   help="dense-layer compute backend: 'pallas' uses the "
+                        "fused sample+matmul+NKL TPU kernel "
+                        "(ops/pallas_vi.py) for mean-field dense layers")
     return p
 
 
@@ -241,6 +266,15 @@ def main(argv=None):
 
     enable_persistent_compile_cache()
     args = build_parser().parse_args(argv)
+    if args.debug_nans or args.fp64:
+        import jax
+
+        if args.debug_nans:
+            # NaN guardrail (ref torch.autograd.set_detect_anomaly(True) at
+            # every driver import, psvi_experiments.py:48 / flow_psvi.py:50)
+            jax.config.update("jax_debug_nans", True)
+        if args.fp64:
+            jax.config.update("jax_enable_x64", True)
     method_args = vars(args)
     datasets = method_args.pop("datasets")
     methods = method_args.pop("methods")

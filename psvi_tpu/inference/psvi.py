@@ -117,6 +117,11 @@ class PSVI:
         tau: float = 0.1,
         hyper_K: int = 30,
         linsys_lr: float = 1e-4,
+        # AID solver for trainer='hyper' (ref hyper_step dispatches on
+        # hypergrad_approx ∈ {fixed_point, CG_normaleq},
+        # psvi_classes.py:610,658-675); 'neumann' is the extra solver from
+        # the vendored hypertorch stack (hypergradients.py:247-278)
+        hypergrad_approx: str = "cg_normaleq",
         truncated: bool = False,
         truncated_K: int = 5,
         remat_inner: bool = False,
@@ -127,10 +132,21 @@ class PSVI:
         inner_unroll: int = 2,
         compute_dtype: str = "float32",
         pool_backend: str = "reshape",  # 'argmax' = int8-argmax residuals
+        # dense-layer compute backend: 'pallas' = fused sample+matmul TPU
+        # kernel (ops/pallas_vi.py) on mean-field VILinear layers.
+        # First-order trainers/paths only (joint/alternating, MFVI, eval) —
+        # nested needs double-backward through the layer and hyper's AID
+        # solvers need jvp through it, neither of which custom_vjp provides.
+        backend: str = "xla",
         packed: Optional[bool] = None,
         spec: Optional[MethodSpec] = None,
         mesh=None,
         shard_batch: bool = False,
+        # shard the S (MC-sample) axis over the mesh 'mc' axis: every eps
+        # leaf and hence every (S, ...) activation carries an 'mc' sharding
+        # constraint; the IW softmax / Σ over S lower to XLA collectives
+        # (SURVEY §2.6; ref S axis in neural_net.py:155-170)
+        shard_mc: bool = False,
         mfvi_selection_method: str = "random",
         pretrain_epochs: int = 5,
         data_folder: Optional[str] = None,
@@ -140,6 +156,9 @@ class PSVI:
         multiple_pts_per_cluster: bool = True,
         alpha_dirichlet: float = 0.0,
         choose_difficult: bool = True,
+        distance_fn: str = "euclidean",
+        last_layer_only: bool = False,
+        loaded_from_psvi: bool = False,
         scoring_run: bool = False,
         profile_dir: Optional[str] = None,
         # optional (x, y) arrays used as the subsample-init pool instead of
@@ -186,11 +205,26 @@ class PSVI:
         self.compute_weights_entropy = compute_weights_entropy
         self.tau = tau
         self.hyper_K, self.linsys_lr = hyper_K, linsys_lr
+        if hypergrad_approx not in ("cg_normaleq", "fixed_point", "neumann"):
+            raise ValueError(
+                f"unknown hypergrad_approx {hypergrad_approx!r} "
+                "(expected cg_normaleq | fixed_point | neumann)"
+            )
+        self.hypergrad_approx = hypergrad_approx
         self.truncated, self.truncated_K = truncated, truncated_K
         self.remat_inner = remat_inner
         self.inner_unroll = max(int(inner_unroll), 1)
         self.compute_dtype = compute_dtype
         self.pool_backend = pool_backend
+        if backend == "pallas" and trainer in ("nested", "hyper"):
+            raise ValueError(
+                "backend='pallas' serves first-order paths only "
+                "(joint/alternating trainers, MFVI, eval); the nested "
+                "trainer differentiates twice through the layer and the "
+                "hyper trainer's AID solvers apply forward-mode (jvp) to "
+                "it — the fused kernel's custom_vjp provides neither"
+            )
+        self.backend = backend
         self.packed = packed
         self.mfvi_selection_method = mfvi_selection_method
         self.pretrain_epochs = pretrain_epochs
@@ -201,6 +235,9 @@ class PSVI:
         self.multiple_pts_per_cluster = multiple_pts_per_cluster
         self.alpha_dirichlet = alpha_dirichlet
         self.choose_difficult = choose_difficult
+        self.distance_fn = distance_fn
+        self.last_layer_only = last_layer_only
+        self.loaded_from_psvi = loaded_from_psvi
         self.scoring_run = scoring_run
         self.profile_dir = profile_dir
         self.init_dataset = init_dataset
@@ -248,6 +285,24 @@ class PSVI:
             # round the minibatch down to a multiple of the data-axis size
             dsize = mesh.shape["data"]
             self.data_minibatch = max(dsize, (self.data_minibatch // dsize) * dsize)
+
+        # optional MC-chain sharding over a mesh 'mc' axis: constrain the
+        # leading S axis of every eps leaf; activations inherit the layout
+        # through the einsums and the reductions over S become collectives
+        self.shard_mc = bool(shard_mc)
+        if self.shard_mc:
+            if mesh is None or "mc" not in mesh.shape:
+                raise ValueError(
+                    "shard_mc=True needs a mesh with an 'mc' axis "
+                    "(parallel.make_mesh(mc=...))"
+                )
+            msize = mesh.shape["mc"]
+            if self.mc_samples % msize or self.mc_samples_eval % msize:
+                raise ValueError(
+                    f"mc_samples ({self.mc_samples}) and mc_samples_eval "
+                    f"({self.mc_samples_eval}) must be divisible by the "
+                    f"mesh 'mc' axis size ({msize})"
+                )
 
         self._build_model()
         self._init_state()
@@ -316,6 +371,10 @@ class PSVI:
             from psvi_tpu.models.layers import with_pool_backend
 
             self.net = with_pool_backend(self.net, self.pool_backend)
+        if self.backend != "xla":
+            from psvi_tpu.models.layers import with_dense_backend
+
+            self.net = with_dense_backend(self.net, self.backend)
         if self.packed:
             # Packed flat-parameter representation (models/packed.py):
             # collapses the inner loop's per-tensor op chains into single
@@ -378,6 +437,9 @@ class PSVI:
                 multiple_pts_per_cluster=self.multiple_pts_per_cluster,
                 alpha_dirichlet=self.alpha_dirichlet,
                 choose_difficult=self.choose_difficult,
+                distance_fn=self.distance_fn,
+                last_layer_only=self.last_layer_only,
+                loaded_from_psvi=self.loaded_from_psvi,
                 n_channels=self.data.channels or 1,
             )
             idx, xs, zs_np, _ = sel.select_data()
@@ -522,7 +584,7 @@ class PSVI:
 
         def body(carry, k):
             params, ostate = carry
-            eps = self.net.sample_eps(k, self.mc_samples)
+            eps = self._sample_eps(k, self.mc_samples)
             loss, g = jax.value_and_grad(self._inner_loss)(
                 params, eps, u, z, v, alpha
             )
@@ -540,6 +602,24 @@ class PSVI:
     # ------------------------------------------------------------------
     # trainers
     # ------------------------------------------------------------------
+
+    def _sample_eps(self, key, S):
+        """Sample the reparameterization noise, optionally constrained so
+        the leading S axis shards over the mesh 'mc' axis (shard_mc=True).
+        All (S, ...) activations downstream inherit the layout through the
+        einsums; the IW softmax and Σ over S lower to XLA collectives."""
+        eps = self.net.sample_eps(key, S)
+        if self.shard_mc:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            def put(x):
+                s = NamedSharding(
+                    self.mesh, P("mc", *([None] * (x.ndim - 1)))
+                )
+                return jax.lax.with_sharding_constraint(x, s)
+
+            eps = jax.tree_util.tree_map(put, eps)
+        return eps
 
     def _sample_batch(self, key):
         idx = jax.random.choice(
@@ -614,7 +694,7 @@ class PSVI:
                 params0, u, z, v, alpha, k_inner, lr_now,
                 n_steps=self.truncated_K if self.truncated else None,
             )
-            eps = self.net.sample_eps(k_outer, self.mc_samples)
+            eps = self._sample_eps(k_outer, self.mc_samples)
             loss = self._outer_loss(paramsT, eps, u, z, v, alpha, xb, yb)
             return loss, (paramsT, inner_losses)
 
@@ -636,7 +716,7 @@ class PSVI:
         :517-525; optimizer built at :876-882 — z and alpha excluded)."""
         k_batch, k_eps = jax.random.split(key)
         xb, yb = self._sample_batch(k_batch)
-        eps = self.net.sample_eps(k_eps, self.mc_samples)
+        eps = self._sample_eps(k_eps, self.mc_samples)
 
         leaves = {"params": state.params, "u": state.u}
         if self.spec.learn_v:
@@ -662,14 +742,14 @@ class PSVI:
         k_batch, k1, k2 = jax.random.split(key, 3)
         xb, yb = self._sample_batch(k_batch)
 
-        eps = self.net.sample_eps(k1, self.mc_samples)
+        eps = self._sample_eps(k1, self.mc_samples)
         loss0, gp = jax.value_and_grad(
             lambda p: self._outer_loss(p, eps, state.u, state.z, state.v,
                                        state.alpha, xb, yb)
         )(state.params)
         params, opt_net = self.opt_net.step(state.params, gp, state.opt_net)
 
-        eps2 = self.net.sample_eps(k2, self.mc_samples)
+        eps2 = self._sample_eps(k2, self.mc_samples)
         loss1, gu = jax.value_and_grad(
             lambda u: self._outer_loss(params, eps2, u, state.z, state.v,
                                        state.alpha, xb, yb)
@@ -706,20 +786,25 @@ class PSVI:
         def fp_map(p, h, k):
             # one GD step on the inner loss (ref GradientDescent fp_map)
             u, z, v, alpha = unpack(h)
-            eps = self.net.sample_eps(k, self.mc_samples)
+            eps = self._sample_eps(k, self.mc_samples)
             g = jax.grad(self._inner_loss)(p, eps, u, z, v, alpha)
             return jax.tree_util.tree_map(
                 lambda w, gw: w - self.linsys_lr * gw, p, g
             )
 
-        eps_outer = self.net.sample_eps(k_outer, self.mc_samples)
+        eps_outer = self._sample_eps(k_outer, self.mc_samples)
 
         def outer_loss_fn(p, h):
             u, z, v, alpha = unpack(h)
             return self._outer_loss(p, eps_outer, u, z, v, alpha, xb, yb)
 
         if hyper:
-            hg = H.cg_normaleq(
+            solver = {
+                "cg_normaleq": H.cg_normaleq,
+                "fixed_point": H.fixed_point,
+                "neumann": H.neumann,
+            }[self.hypergrad_approx]
+            hg = solver(
                 fp_map, outer_loss_fn, paramsT, hyper, self.hyper_K, k_ift
             )
             state = self._apply_hyper_updates(state, hg.hyper_grads)
@@ -735,7 +820,7 @@ class PSVI:
         (ref retrain loop :996-1003; fresh optimizer at lr0joint :971 —
         weight_reset before the loop re-initializes the moments)."""
         def loss_fn(p):
-            eps = self.net.sample_eps(key, self.mc_samples)
+            eps = self._sample_eps(key, self.mc_samples)
             return self._inner_loss(p, eps, state.u, state.z, state.v, state.alpha)
 
         loss, g = jax.value_and_grad(loss_fn)(state.params)
@@ -767,7 +852,7 @@ class PSVI:
         def body(carry, inp):
             xb, yb, m, k = inp
             corrects, nll_sum, total = carry
-            eps = self.net.sample_eps(k, S)
+            eps = self._sample_eps(k, S)
             all_x = jnp.concatenate([state.u, xb], axis=0)
             all_logits = self.net.apply(state.params, eps, all_x)
             M = state.u.shape[0]

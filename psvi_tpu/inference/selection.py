@@ -209,6 +209,26 @@ class ScoreCalculator:
         return jnp.linalg.norm(self.p - onehot, axis=1)
 
 
+def load_embeddings_csv(data_folder, dnm, seed):
+    """Penultimate-layer embeddings saved by a PSVI scoring run
+    (``PSVI._save_embeddings`` writes ``embedding_{dnm}_{seed}.csv``; ref
+    ``_run_kmeans_loaded``, ``inference/utils.py:856-876``)."""
+    import pandas as pd
+
+    fname = os.path.join(data_folder or ".", f"embedding_{dnm}_{seed}.csv")
+    return pd.read_csv(fname, sep=",", header=None).values.astype(np.float32)
+
+
+def load_scores_csv(data_folder, dnm, seed, score_type):
+    """Difficulty scores saved by a PSVI scoring run (``PSVI._do_scoring``
+    writes ``score_psvi_{dnm}_{seed}.csv``; ref
+    ``_get_uncertainty_score_loaded``, ``inference/utils.py:1025-1034``)."""
+    import pandas as pd
+
+    fname = os.path.join(data_folder or ".", f"score_psvi_{dnm}_{seed}.csv")
+    return pd.read_csv(fname)[score_type].values.astype(np.float32)
+
+
 def sample_multinomial(pval, k, rng=None):
     """Over-dispersed multinomial top-k pick (ref :733-744)."""
     rng = rng or np.random.default_rng()
@@ -338,13 +358,20 @@ class KmeansSelection(Selection):
 
     def __init__(self, x, y, num_pseudo, nc, seed, forgetting_flag=False,
                  embedding_flag=False, dist="euclidean", multiple_pts=True,
-                 **kw):
+                 loaded=False, data_folder=None, dnm=None, **kw):
         super().__init__(x, y, num_pseudo, nc, seed, forgetting_flag)
         self.embedding_flag = embedding_flag
         self.dist = dist
         self.multiple_pts = multiple_pts
+        self.loaded = loaded
+        self.data_folder = data_folder
+        self.dnm = dnm
 
     def _features(self):
+        if self.loaded:
+            # embeddings persisted by a PSVI scoring run (ref
+            # _run_kmeans_loaded, inference/utils.py:856-876)
+            return load_embeddings_csv(self.data_folder, self.dnm, self.seed)
         if self.embedding_flag:
             return self._penultimate_embeddings()
         return self.x.reshape(len(self.x), -1)
@@ -361,7 +388,8 @@ class KmeansSelection(Selection):
         return cluster.get_arbitrary_pts(self.num_pseudo)
 
     def pretrain(self, *a, **k):
-        if self.embedding_flag:
+        # no pretraining needed on the loaded path (ref :915-918)
+        if self.embedding_flag and not self.loaded:
             super().pretrain(*a, **k)
 
 
@@ -371,15 +399,28 @@ class ScoreSelection(Selection):
     ALLOWED = ("least_confidence", "entropy", "el2n", "forgetting")
 
     def __init__(self, x, y, num_pseudo, nc, seed, forgetting_flag=False,
-                 score_type="least_confidence", **kw):
+                 score_type="least_confidence", loaded=False,
+                 data_folder=None, dnm=None, **kw):
         if score_type == "forgetting":
             forgetting_flag = True
         if score_type not in self.ALLOWED:
             raise ValueError(f"{score_type} not in {self.ALLOWED}")
         super().__init__(x, y, num_pseudo, nc, seed, forgetting_flag)
         self.score_type = score_type
+        self.loaded = loaded
+        self.data_folder = data_folder
+        self.dnm = dnm
+
+    def pretrain(self, *a, **k):
+        # scores come from the saved CSV on the loaded path (ref :963-964)
+        if not self.loaded:
+            super().pretrain(*a, **k)
 
     def _get_uncertainty_score(self) -> np.ndarray:
+        if self.loaded:
+            return load_scores_csv(
+                self.data_folder, self.dnm, self.seed, self.score_type
+            )
         if self.score_type == "forgetting":
             return np.asarray(self.pretrained_vi.forgetting_events)
         probs = self._mean_probs()
@@ -408,21 +449,28 @@ class KmeansScoreSelection(ScoreSelection):
     def __init__(self, x, y, num_pseudo, nc, seed, forgetting_flag=False,
                  score_type="least_confidence", embedding_flag=False,
                  dist="euclidean", multiple_pts=True, alpha=0.0,
-                 choose_difficult=True, **kw):
+                 choose_difficult=True, loaded=False, data_folder=None,
+                 dnm=None, **kw):
         super().__init__(x, y, num_pseudo, nc, seed, forgetting_flag,
-                         score_type)
+                         score_type, loaded=loaded, data_folder=data_folder,
+                         dnm=dnm)
         self.embedding_flag = embedding_flag
         self.dist = dist
         self.multiple_pts = multiple_pts
         self.alpha = alpha
         self.choose_difficult = choose_difficult
 
+    def _cluster_features(self):
+        if self.loaded:
+            # loaded path clusters saved embeddings (ref :1139-1140)
+            return load_embeddings_csv(self.data_folder, self.dnm, self.seed)
+        if self.embedding_flag:
+            return self._penultimate_embeddings()
+        return self.x.reshape(len(self.x), -1)
+
     def select(self):
         score_arr = self._get_uncertainty_score()
-        feats = (
-            self._penultimate_embeddings() if self.embedding_flag
-            else self.x.reshape(len(self.x), -1)
-        )
+        feats = self._cluster_features()
         cluster = KmeansCluster(feats, self.y, num_classes=self.nc,
                                 seed=self.seed, dist=self.dist)
         num_clusters = _num_clusters_heuristic(self.num_pseudo, self.multiple_pts)
@@ -500,10 +548,7 @@ class WeightedKmeansSelection(KmeansScoreSelection):
     """k-means points with score-proportional weights (ref :1381-1416)."""
 
     def select(self):
-        feats = (
-            self._penultimate_embeddings() if self.embedding_flag
-            else self.x.reshape(len(self.x), -1)
-        )
+        feats = self._cluster_features()
         self._cluster = KmeansCluster(feats, self.y, num_classes=self.nc,
                                       seed=self.seed, dist=self.dist)
         self._cluster.set_num_clusters(
@@ -614,6 +659,7 @@ class CoresetSelect:
         self.dnm = dnm
         self.distance_fn = distance_fn
         self.last_layer_only = last_layer_only
+        self.loaded_from_psvi = loaded_from_psvi
         self.multiple_pts = multiple_pts_per_cluster
         self.alpha_dirichlet = alpha_dirichlet
         self.choose_difficult = choose_difficult
@@ -625,10 +671,13 @@ class CoresetSelect:
         common = dict(x=self.x, y=self.y, num_pseudo=self.num_pseudo,
                       nc=self.nc, seed=self.seed)
         sm = self.score_method
+        loaded_kw = dict(loaded=self.loaded_from_psvi,
+                         data_folder=self.data_folder, dnm=self.dnm)
         if sm == "kmeans":
             method = KmeansSelection(
                 **common, embedding_flag=embedding_flag,
                 dist=self.distance_fn, multiple_pts=self.multiple_pts,
+                **loaded_kw,
             )
         elif sm == "kmeans_gradient":
             method = KmeansGradientSelection(
@@ -643,14 +692,14 @@ class CoresetSelect:
         elif sm == "random":
             method = RandomSelection(**common)
         elif sm in ScoreSelection.ALLOWED:
-            method = ScoreSelection(**common, score_type=sm)
+            method = ScoreSelection(**common, score_type=sm, **loaded_kw)
         elif sm.startswith("scored_kmeans_"):
             method = KmeansScoreSelection(
                 **common,
                 score_type=re.sub(r"^scored_kmeans_", "", sm),
                 embedding_flag=embedding_flag, dist=self.distance_fn,
                 multiple_pts=self.multiple_pts, alpha=self.alpha_dirichlet,
-                choose_difficult=self.choose_difficult,
+                choose_difficult=self.choose_difficult, **loaded_kw,
             )
         elif sm.startswith("scored_random_"):
             method = RandomScoreSelection(
@@ -664,6 +713,7 @@ class CoresetSelect:
         else:
             raise ValueError(f"{sm} is not implemented")
 
+        self.method = method
         method.pretrain(
             self.xt, self.yt, self.architecture, self.D, self.n_hidden,
             self.mc_samples, self.init_sd, self.data_minibatch,

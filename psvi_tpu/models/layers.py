@@ -753,6 +753,22 @@ def with_compute_dtype(net, dtype: str):
     )
 
 
+def with_dense_backend(net, backend: str):
+    """Return a copy of ``net`` with every mean-field VILinear's compute
+    ``backend`` replaced (``'pallas'`` = the fused sample+matmul+NKL TPU
+    kernel, ``ops/pallas_vi.py``). First-order paths only — the nested
+    trainer's double-backward and the hyper trainer's forward-mode AID
+    products keep the XLA formulation (custom_vjp supports one order of
+    reverse-mode differentiation and no jvp)."""
+    if backend not in ("xla", "pallas"):
+        raise ValueError(f"unknown dense backend {backend!r}")
+    return _rewrite_layers(
+        net,
+        lambda l: dataclasses.replace(l, backend=backend)
+        if isinstance(l, VILinear) else l,
+    )
+
+
 def with_pool_backend(net, backend: str):
     """Return a copy of ``net`` with every MaxPool2d's ``backend`` replaced
     (``'argmax'`` = int8-argmax residuals, see :func:`_argmax_pool`)."""

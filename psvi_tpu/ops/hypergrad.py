@@ -125,6 +125,68 @@ def cg_normaleq(
     return HyperGrads(hyper_grads, loss)
 
 
+def neumann(
+    fp_map: Callable,
+    outer_loss_fn: Callable,
+    params,
+    hyper,
+    K: int,
+    key,
+) -> HyperGrads:
+    """Neumann-series AID (ref ``hypergradients.py:247-278``):
+    g ← Σ_{k=0..K} (Jᵀ)^k g_w, hypergrad = (∂Φ/∂λ)ᵀ g + g_λ.
+
+    The reference builds ``w_mapped`` ONCE and reuses its graph for every
+    Jᵀ product (:264-269), i.e. all products share one parameter sample —
+    mirrored here by a single ``jax.vjp`` closure (the tol-based early exit
+    at 1e-10 virtually never fires and is dropped, as in ``cg_solve``)."""
+    loss, g_w, g_h = _outer_grads(outer_loss_fn, params, hyper)
+
+    _, vjp_fn = jax.vjp(lambda p: fp_map(p, hyper, key), params)
+
+    def body(carry, _):
+        vs, gs = carry
+        vs = vjp_fn(vs)[0]
+        return (vs, tree_add(gs, vs)), None
+
+    (_, gs), _ = jax.lax.scan(body, (g_w, g_w), None, length=K)
+
+    _, vjp_h = jax.vjp(lambda h: fp_map(params, h, key), hyper)
+    hyper_grads = tree_add(g_h, vjp_h(gs)[0])
+    return HyperGrads(hyper_grads, loss)
+
+
+def exact(
+    opt_params_f: Callable,  # hyper -> params (closed-form inner solution)
+    outer_loss_fn: Callable,  # (params, hyper) -> scalar
+    hyper,
+) -> HyperGrads:
+    """Exact hypergradient through a closed-form inner solution
+    (ref ``hypergradients.py:281-294``): differentiate
+    ``outer_loss(opt_params_f(λ), λ)`` directly — native ``jax.grad``."""
+    loss, grads = jax.value_and_grad(
+        lambda h: outer_loss_fn(opt_params_f(h), h)
+    )(hyper)
+    return HyperGrads(grads, loss)
+
+
+def reverse_unroll(
+    inner_solver: Callable,  # hyper -> params (a differentiable unrolled solve)
+    outer_loss_fn: Callable,  # (params, hyper) -> scalar
+    hyper,
+) -> HyperGrads:
+    """Reverse-mode unrolled differentiation (ref ``hypergradients.py:14-34``
+    and ``reverse`` :38-80). In JAX this is simply ``jax.grad`` through a
+    ``lax.scan``-unrolled inner solve — exactly what the engine's nested
+    trainer does (``PSVI._nested_step``); ``reverse``'s checkpointed
+    recomputation corresponds to ``remat_inner=True``. Provided as a
+    standalone helper for API parity."""
+    loss, grads = jax.value_and_grad(
+        lambda h: outer_loss_fn(inner_solver(h), h)
+    )(hyper)
+    return HyperGrads(grads, loss)
+
+
 def fixed_point(
     fp_map: Callable,
     outer_loss_fn: Callable,

@@ -11,10 +11,12 @@ XLA path materializes the same tensor between fusions).
 The op carries a custom VJP (backward in XLA einsums — their transposes are
 plain matmuls). ``jax.custom_vjp`` supports one order of reverse-mode
 differentiation, so the fused op serves the FIRST-ORDER paths (MFVI
-baselines, evaluation, retrain, the non-differentiated inner solve of the
-IFT trainer); the nested trainer's double-backward keeps the reference XLA
-formulation. Select with ``VILinear(backend='pallas')`` or the engine's
-``use_pallas`` flag.
+baselines, evaluation, retrain, the joint/alternating trainers); the
+nested trainer's double-backward and the hyper trainer's forward-mode AID
+products keep the reference XLA formulation. Select with
+``VILinear(backend='pallas')``, the engine kwarg
+``PSVI(backend='pallas')`` (plumbed through ``with_dense_backend``), or the
+CLI flag ``--backend pallas``.
 
 Kernel layout: grid (S, N//TN); per step the x tile (TN, Din), μ/ρ
 (Dout, Din) and ε_s (Dout, Din) live in VMEM; the matmul hits the MXU with
@@ -103,7 +105,14 @@ def sampled_linear(x, mu_w, rho_w, mu_b, rho_b, eps_w, eps_b):
 
     x: (S, N, Din); μ_w/ρ_w: (Dout, Din); μ_b/ρ_b: (Dout,);
     ε_w: (S, Dout, Din); ε_b: (S, Dout) → (S, N, Dout).
+
+    Off-TPU (CPU tests, virtual meshes) the forward falls back to the
+    identical-math XLA formulation, so ``backend='pallas'`` is safe to
+    select on any platform; the check is trace-time (static).
     """
+    if not pallas_available():
+        return sampled_linear_reference(x, mu_w, rho_w, mu_b, rho_b,
+                                        eps_w, eps_b)
     return _sampled_linear_pallas(x, mu_w, rho_w, mu_b, rho_b, eps_w, eps_b)
 
 

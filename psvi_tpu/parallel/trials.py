@@ -6,6 +6,13 @@ trials are STACKED into one pytree whose leading axis is sharded over the
 mesh's ``'trial'`` axis; one jitted SPMD program advances all trials per
 step. Per-trial PRNG streams come from ``fold_in(seed, trial)`` so results
 are bitwise identical however many devices participate.
+
+Steps between logging boundaries are CHAINED into one dispatch (a
+``lax.scan`` over the vmapped step, mirroring the single-engine
+``PSVI._multi_step_dyn``): per-dispatch host→device latency (~30 ms over
+the axon tunnel) would otherwise dominate small per-trial steps. The scan
+uses a static slot count (``log_every``) with a dynamic active count so the
+final partial chunk reuses the same executable instead of recompiling.
 """
 
 from __future__ import annotations
@@ -34,6 +41,13 @@ class TrialParallelPSVI:
         mesh=None,
         **engine_kwargs,
     ):
+        for flag in ("reset", "prune", "increment"):
+            if engine_kwargs.get(flag):
+                raise ValueError(
+                    f"{flag}=True is not supported in trial-parallel mode "
+                    "(lifecycle runs mutate static shapes mid-run; run "
+                    "them through the single-engine path)"
+                )
         spec = METHOD_SPECS[method]
         cls = PSVIRegressor if spec.regressor else PSVI
         self.mesh = mesh if mesh is not None else make_mesh(trial=1)
@@ -62,34 +76,87 @@ class TrialParallelPSVI:
         self._vstep = jax.jit(jax.vmap(step_fn), donate_argnums=(0,))
         self._veval = jax.jit(jax.vmap(eval_fn))
 
+        T = self._padded_trials
+
+        def multi_vstep_dyn(states, keys, it0, n_active, n_slots: int):
+            """Chain up to ``n_slots`` vmapped trial-steps in ONE dispatch,
+            executing only the first ``n_active`` (dynamic); the per-trial
+            per-iteration keys fold inside the scan so the key streams are
+            bit-identical to the unchained loop."""
+            idx = jnp.arange(n_slots)
+
+            def body(s, i):
+                ks = jax.vmap(
+                    lambda k: jax.random.fold_in(k, it0 + i)
+                )(keys)
+
+                def do(s):
+                    s2, aux = jax.vmap(step_fn)(s, ks)
+                    return s2, aux["outer_loss"]
+
+                def skip(s):
+                    return s, jnp.full((T,), jnp.nan, jnp.float32)
+
+                return jax.lax.cond(i < n_active, do, skip, s)
+
+            states, losses = jax.lax.scan(body, states, idx)
+            return states, losses
+
+        self._vmulti = jax.jit(
+            multi_vstep_dyn, static_argnums=(4,), donate_argnums=(0,)
+        )
+
         self.keys = jnp.stack(
             [trial_key(1000, t) for t in range(self._padded_trials)]
         )
         self.keys = shard_pytree_leading(self.keys, self.mesh, "trial")
 
-    def run(self):
+    def _eval_now(self, it, results, times0):
+        base = self.base
+        eval_keys = jax.vmap(
+            lambda k: jax.random.fold_in(jax.random.fold_in(k, 0x5EED), it)
+        )(self.keys)
+        accs, nlls, iw, ness, vent = self._veval(self.states, eval_keys)
+        accs, nlls, ness = map(np.asarray, (accs, nlls, ness))
+        for t in range(self.num_trials):
+            results[t]["accs"].append(float(accs[t]))
+            results[t]["nlls"].append(float(nlls[t]))
+            results[t]["ness"].append(float(ness[t]))
+            results[t]["csizes"].append(base.num_pseudo)
+            results[t]["times"].append(time.time() - times0)
+
+    def run(self, chain_steps: bool = True):
+        """Advance all trials to ``num_epochs``.
+
+        chain_steps=True (default) dispatches each ``log_every``-step block
+        as ONE executable; False falls back to one dispatch per step (kept
+        for latency-free debugging and the equivalence test)."""
         base = self.base
         results = [
             {"accs": [], "nlls": [], "csizes": [], "times": [], "ness": []}
             for _ in range(self.num_trials)
         ]
         times0 = time.time()
-        for it in range(base.num_epochs):
-            fold = jax.vmap(lambda k: jax.random.fold_in(k, it))
-            step_keys = fold(self.keys)
-            eval_keys = jax.vmap(
-                lambda k: jax.random.fold_in(jax.random.fold_in(k, 0x5EED), it)
-            )(self.keys)
+        if not chain_steps:
+            for it in range(base.num_epochs):
+                if it % base.log_every == 0:
+                    self._eval_now(it, results, times0)
+                step_keys = jax.vmap(
+                    lambda k: jax.random.fold_in(k, it)
+                )(self.keys)
+                self.states, _ = self._vstep(self.states, step_keys)
+            return results
+
+        slots = max(1, min(base.log_every, base.num_epochs))
+        it = 0
+        while it < base.num_epochs:
             if it % base.log_every == 0:
-                accs, nlls, iw, ness, vent = self._veval(self.states, eval_keys)
-                accs, nlls, ness = map(np.asarray, (accs, nlls, ness))
-                for t in range(self.num_trials):
-                    results[t]["accs"].append(float(accs[t]))
-                    results[t]["nlls"].append(float(nlls[t]))
-                    results[t]["ness"].append(float(ness[t]))
-                    results[t]["csizes"].append(base.num_pseudo)
-                    results[t]["times"].append(time.time() - times0)
-            self.states, _ = self._vstep(self.states, step_keys)
+                self._eval_now(it, results, times0)
+            n = min(slots - (it % slots), base.num_epochs - it)
+            self.states, _ = self._vmulti(
+                self.states, self.keys, jnp.int32(it), jnp.int32(n), slots
+            )
+            it += n
         return results
 
 

@@ -27,6 +27,8 @@ class ExperimentConfig:
     inner_it: int = 100
     outer_it: int = 100
     trainer: str = "nested"  # nested | hyper | joint | alternating
+    # AID solver for trainer='hyper' (ref psvi_classes.py:610,658-675)
+    hypergrad_approx: str = "cg_normaleq"  # cg_normaleq | fixed_point | neumann
     diagonal: bool = True  # diagonal vs full covariance for laplace baselines
 
     # architecture (ref :103-140)
@@ -85,7 +87,9 @@ class ExperimentConfig:
     # extras (TPU-native additions)
     seed: int = 0
     compute_weights_entropy: bool = True
-    fp64: bool = False
+    fp64: bool = False  # jax_enable_x64 (numerics debugging; slow on TPU)
+    debug_nans: bool = False  # jax_debug_nans (set_detect_anomaly analog)
+    backend: str = "xla"  # dense-layer compute backend: xla | pallas
     mesh_trial_axis: int = 1  # number of mesh devices for the trial axis
     mesh_data_axis: int = 1  # number of mesh devices for the data-batch axis
 

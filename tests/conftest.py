@@ -29,6 +29,56 @@ if not _use_tpu:
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
+# Tests measured >5 s on the 8-device virtual CPU mesh (dominated by XLA
+# compile time). Deselected by default via pytest.ini addopts; run with
+# -m "slow or not slow" for the full suite. Bare names mark every
+# parametrization; bracketed names mark a single parametrization.
+SLOW_TESTS = {
+    "test_bf16_nested_step_finite_and_close",
+    "test_resnet18_forward",
+    "test_profile_dir_writes_trace",
+    "test_alexnet_forward",
+    "test_lenet_forward_shapes",
+    "test_dryrun_multichip_entry",
+    "test_checkpoint_roundtrip",
+    "test_mfvi_regressor_model_selection",
+    "test_fc2net_full_covariance",
+    "test_increment",
+    "test_gradients_flow_to_hyperparams",
+    "test_scoring_run_writes_csvs",
+    "test_trial_parallel_matches_vmap_no_mesh",
+    "test_trial_parallel_chained_matches_unchained",
+    "test_mc_sharded_step_matches_replicated",
+    "test_pallas_backend_engine_matches_xla",
+    "test_bf16_forward_close_to_f32",
+    "test_set_up_model_dispatch[fn2-kw3]",
+    "test_unbatched_input_paths_match_broadcast",
+    "test_packed_kl_nkl_close",
+    "test_batch_sharded_step_matches_replicated",
+    "test_fcnet_forward_and_nkl_shapes",
+    "test_argmax_pool_matches_reshape_pool",
+    "test_conv_forward_kl_nkl_match_reference",
+    "test_results_roundtrip_and_retrieve",
+    "test_inner_unroll_same_numerics",
+    "test_bnn_fn_architecture",
+    "test_run_giga",
+    "test_prune",
+    "test_reset_and_retrain",
+    "test_trial_parallel_runs",
+    "test_run_mfvi",
+    "test_bf16_kl_nkl_stay_f32_exact",
+    "test_pred_on_grid",
+    "test_method_variants_run[psvi_no_iw]",
+    "test_fullcov_forward_kl_nkl_match_reference",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        base = item.name.split("[")[0]
+        if item.name in SLOW_TESTS or base in SLOW_TESTS:
+            item.add_marker(pytest.mark.slow)
+
 
 @pytest.fixture
 def rng():

@@ -54,6 +54,32 @@ def test_trial_parallel_matches_vmap_no_mesh(halfmoon):
 
 
 @needs_8
+def test_trial_parallel_chained_matches_unchained(halfmoon):
+    """The chained (one dispatch per log_every block) runner must produce
+    bit-identical key streams and hence identical results to the
+    one-dispatch-per-step loop (VERDICT round-1 item 3)."""
+    kw = dict(
+        num_trials=3, method="psvi_learn_v", num_pseudo=8, mc_samples=4,
+        architecture="logistic_regression", inner_it=3, num_epochs=7,
+        data_minibatch=32, log_every=3, init_sd=1e-3,
+    )
+    mesh = make_mesh(trial=4)
+    ra = TrialParallelPSVI(halfmoon, mesh=mesh, **kw).run(chain_steps=True)
+    rb = TrialParallelPSVI(halfmoon, mesh=mesh, **kw).run(chain_steps=False)
+    for a, b in zip(ra, rb):
+        np.testing.assert_allclose(a["accs"], b["accs"], atol=1e-6)
+        np.testing.assert_allclose(a["nlls"], b["nlls"], rtol=1e-5)
+
+
+def test_trial_parallel_rejects_lifecycle(halfmoon):
+    with pytest.raises(ValueError, match="trial-parallel"):
+        TrialParallelPSVI(
+            halfmoon, num_trials=2, method="psvi_learn_v", num_pseudo=8,
+            architecture="logistic_regression", prune=True,
+        )
+
+
+@needs_8
 def test_batch_sharded_step_matches_replicated(halfmoon):
     """Data-parallel minibatch sharding must match unsharded numerics."""
     kw = dict(
@@ -70,6 +96,48 @@ def test_batch_sharded_step_matches_replicated(halfmoon):
     np.testing.assert_allclose(
         float(a0["outer_loss"]), float(a1["outer_loss"]), rtol=1e-4
     )
+
+
+@needs_8
+def test_mc_sharded_step_matches_replicated(halfmoon):
+    """MC-chain sharding (shard_mc=True) must match unsharded numerics:
+    the constraint only changes layout, the IW softmax over S becomes a
+    collective (VERDICT round-1 item 2)."""
+    kw = dict(
+        method="psvi_learn_v", num_pseudo=8, mc_samples=8,
+        architecture="fn", n_hidden=16, inner_it=3, num_epochs=2,
+        data_minibatch=32, log_every=1, init_sd=1e-3, seed=0,
+    )
+    eng0 = PSVI(halfmoon, **kw)
+    mesh = make_mesh(trial=1, data=1, mc=8)
+    eng1 = PSVI(halfmoon, mesh=mesh, shard_mc=True, **kw)
+    key = jax.random.PRNGKey(5)
+    s0, a0 = eng0._step(eng0.state, key)
+    s1, a1 = eng1._step(eng1.state, key)
+    np.testing.assert_allclose(
+        float(a0["outer_loss"]), float(a1["outer_loss"]), rtol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(s0.v), np.asarray(s1.v), rtol=1e-4, atol=1e-6
+    )
+    # eval path under the same constraint
+    acc0, nll0, *_ = eng0._eval(s0, key)
+    acc1, nll1, *_ = eng1._eval(s1, key)
+    np.testing.assert_allclose(float(acc0), float(acc1), atol=1e-6)
+    np.testing.assert_allclose(float(nll0), float(nll1), rtol=1e-4)
+
+
+@needs_8
+def test_shard_mc_validation():
+    """shard_mc needs an 'mc' mesh axis and divisible sample counts."""
+    data = read_dataset("halfmoon")
+    with pytest.raises(ValueError, match="mc"):
+        PSVI(data, method="psvi_learn_v", num_pseudo=8, mc_samples=8,
+             architecture="logistic_regression", shard_mc=True)
+    mesh = make_mesh(trial=1, data=1, mc=8)
+    with pytest.raises(ValueError, match="divisible"):
+        PSVI(data, method="psvi_learn_v", num_pseudo=8, mc_samples=6,
+             architecture="logistic_regression", mesh=mesh, shard_mc=True)
 
 
 @needs_8
