@@ -38,6 +38,7 @@ DATASET_STATS = {  # channels, side, classes, n_train
     "FashionMNIST": (1, 28, 10, 60000),
     "Cifar10": (3, 32, 10, 50000),
     "synth_mnist": (1, 28, 10, 6000),
+    "synth_mnist_hard": (1, 28, 10, 6000),
     "synth_cifar": (3, 32, 10, 6000),
 }
 VISION_DATASETS = tuple(DATASET_STATS)
@@ -121,7 +122,14 @@ def read_dataset(dnm: str, test_ratio: float = 0.2, data_folder: str = "data",
 
 def _read_vision(dnm, data_folder, rng):
     channels, side, nc, _ = DATASET_STATS[dnm]
-    if dnm.startswith("synth_"):
+    if dnm == "synth_mnist_hard":
+        # controlled-Bayes-ceiling family (≈0.90 at the defaults) — the
+        # non-saturating wall-clock-to-accuracy benchmark
+        x, y, xt, yt, _templates = synthetic.make_synth_images_hard(
+            n_per_class=DATASET_STATS[dnm][3] // nc,
+            nc=nc, side=side, channels=channels, rng=rng,
+        )
+    elif dnm.startswith("synth_"):
         x, y, xt, yt = synthetic.make_synth_images(
             n_per_class=DATASET_STATS[dnm][3] // nc,
             nc=nc, side=side, channels=channels, rng=rng,

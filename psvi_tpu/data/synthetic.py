@@ -79,6 +79,102 @@ def make_sinus(n: int = 1000, rng=None):
     return X[:, None].astype(np.float32), Y[:, None].astype(np.float32)
 
 
+def make_synth_images_hard(
+    n_per_class: int = 600,
+    n_test_per_class: int = 100,
+    nc: int = 10,
+    side: int = 28,
+    channels: int = 1,
+    sep: float = 0.55,
+    noise_sd: float = 1.0,
+    max_shift: int = 2,
+    label_noise: float = 0.08,
+    rng=None,
+):
+    """Non-saturating MNIST-shaped benchmark with a CONTROLLED Bayes
+    ceiling (round-1 VERDICT item 1: ``make_synth_images`` saturates to
+    acc 1.0 by epoch 10, so 'wall-clock to reference accuracy' was never a
+    meaningful number).
+
+    Generative model: class template = shared low-frequency base +
+    ``sep``·class-unique component (4×-upsampled 7×7, so 49 effective
+    dims); each sample is a random ±``max_shift``-pixel toroidal shift of
+    its template plus N(0, ``noise_sd``²) pixel noise; finally each label
+    (train AND test) is replaced with a uniform OTHER class with
+    probability ``label_noise``. Two difficulty knobs with separable
+    roles: sep/noise_sd control how hard the x-task is (how slowly the
+    curve climbs), label_noise caps the ceiling EXACTLY (the Bayes rule
+    predicts the true class, which the observed test label matches with
+    probability 1−η). The ceiling is measured, not assumed:
+    :func:`nearest_template_accuracy` scores the
+    nearest-template-over-shifts MAP rule against the noisy labels. At
+    the defaults it is ≈ 0.92, so curves plateau well below 1.0 and
+    convergence speed is informative (measured on the production PSVI
+    LeNet config: M=30 climbs from chance to a ≈0.7 plateau over ~40
+    outer epochs).
+
+    Returns (x_train, y_train, x_test, y_test, templates).
+    """
+    rng = rng or np.random.default_rng(7)
+    f = side // 4
+    base = rng.standard_normal((1, channels, f, f)).astype(np.float32)
+    uniq = rng.standard_normal((nc, channels, f, f)).astype(np.float32)
+    templates = (base + sep * uniq).repeat(4, axis=2).repeat(4, axis=3)
+
+    def gen(n_pc):
+        xs, ys = [], []
+        for c in range(nc):
+            dys = rng.integers(-max_shift, max_shift + 1, n_pc)
+            dxs = rng.integers(-max_shift, max_shift + 1, n_pc)
+            shifted = np.stack([
+                np.roll(templates[c], (dy, dx), axis=(1, 2))
+                for dy, dx in zip(dys, dxs)
+            ])
+            noise = noise_sd * rng.standard_normal(
+                (n_pc, channels, side, side)
+            ).astype(np.float32)
+            xs.append(shifted + noise)
+            ys.append(np.full(n_pc, c, dtype=np.float32))
+        X = np.concatenate(xs)
+        Y = np.concatenate(ys)
+        # symmetric label noise: flip to a uniform OTHER class w.p. η
+        flip = rng.random(len(Y)) < label_noise
+        offsets = rng.integers(1, nc, len(Y))
+        Y = np.where(flip, (Y + offsets) % nc, Y).astype(np.float32)
+        perm = rng.permutation(len(X))
+        return X[perm], Y[perm]
+
+    xtr, ytr = gen(n_per_class)
+    xte, yte = gen(n_test_per_class)
+    return xtr, ytr, xte, yte, templates
+
+
+def nearest_template_accuracy(x, y, templates, max_shift: int = 2,
+                              batch: int = 512):
+    """Bayes-optimal accuracy for :func:`make_synth_images_hard` data:
+    classify by the nearest template over all generative shifts (the MAP
+    rule under the known isotropic-Gaussian noise and uniform shift
+    prior — the ceiling no learner can beat in expectation)."""
+    nc = templates.shape[0]
+    shifts = [
+        (dy, dx)
+        for dy in range(-max_shift, max_shift + 1)
+        for dx in range(-max_shift, max_shift + 1)
+    ]
+    cand = np.stack([
+        np.roll(templates, (dy, dx), axis=(2, 3)) for dy, dx in shifts
+    ])  # (n_shifts, nc, C, H, W)
+    cand = cand.reshape(len(shifts) * nc, -1)
+    labels = np.tile(np.arange(nc), len(shifts))
+    X = x.reshape(len(x), -1)
+    correct = 0
+    for i in range(0, len(X), batch):
+        xb = X[i:i + batch]
+        d = ((xb[:, None, :] - cand[None, :, :]) ** 2).sum(-1)
+        correct += int((labels[np.argmin(d, axis=1)] == y[i:i + batch]).sum())
+    return correct / len(X)
+
+
 def make_synth_images(
     n_per_class: int = 600,
     n_test_per_class: int = 100,

@@ -171,6 +171,13 @@ def build_parser() -> argparse.ArgumentParser:
                         "(ref linsys_lr, psvi_classes.py:662)")
     p.add_argument("--diagonal", action=argparse.BooleanOptionalAction,
                    default=True)
+    p.add_argument("--giga_growth", type=str, default="log_every",
+                   choices=["log_every", "every_step"],
+                   help="GIGA coreset growth cadence: 'log_every' "
+                        "reproduces the reference's grow-only-on-logged-"
+                        "iterations indentation defect (baselines.py:326); "
+                        "'every_step' is the paper-correct mode "
+                        "(Campbell & Broderick 2018)")
     p.add_argument("--architecture", type=str, default="logistic_regression")
     p.add_argument("--n_hidden", type=int, default=40)
     p.add_argument("--n_layers", type=int, default=1)
@@ -258,6 +265,13 @@ def build_parser() -> argparse.ArgumentParser:
                    help="dense-layer compute backend: 'pallas' uses the "
                         "fused sample+matmul+NKL TPU kernel "
                         "(ops/pallas_vi.py) for mean-field dense layers")
+    p.add_argument("--distributed", action="store_true", default=False,
+                   help="initialize JAX multi-controller mode before any "
+                        "device query (multi-host meshes; coordinator from "
+                        "JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES / "
+                        "JAX_PROCESS_ID, auto-detected on TPU pods) — see "
+                        "parallel/distributed.py and "
+                        "scripts/multihost_dryrun.py")
     return p
 
 
@@ -266,6 +280,23 @@ def main(argv=None):
 
     enable_persistent_compile_cache()
     args = build_parser().parse_args(argv)
+    if os.environ.get("JAX_PLATFORMS"):
+        # honor an explicit platform request — the axon sitecustomize
+        # force-registers jax_platforms="axon,cpu" at interpreter start,
+        # which would otherwise silently override JAX_PLATFORMS=cpu
+        # (useful for host-driven baselines like giga/sparsevi whose
+        # per-iteration host syncs pay the device-tunnel RTT)
+        import jax
+
+        try:
+            jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+        except Exception:
+            pass
+    if args.distributed:
+        # must run before any jax device query (parallel/distributed.py)
+        from psvi_tpu.parallel.distributed import initialize_distributed
+
+        initialize_distributed()
     if args.debug_nans or args.fp64:
         import jax
 

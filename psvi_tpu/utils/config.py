@@ -30,6 +30,10 @@ class ExperimentConfig:
     # AID solver for trainer='hyper' (ref psvi_classes.py:610,658-675)
     hypergrad_approx: str = "cg_normaleq"  # cg_normaleq | fixed_point | neumann
     diagonal: bool = True  # diagonal vs full covariance for laplace baselines
+    # GIGA growth cadence: 'log_every' = reference-faithful (grows only on
+    # logged iterations, a shipped indentation defect, ref baselines.py:326);
+    # 'every_step' = paper-correct (Campbell & Broderick 2018)
+    giga_growth: str = "log_every"
 
     # architecture (ref :103-140)
     architecture: str = "logistic_regression"

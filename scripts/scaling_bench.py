@@ -36,16 +36,21 @@ def bench_mesh(data, n_dev, trials_per_dev=2, steps=20):
         architecture="fn", n_hidden=40, inner_it=10, num_epochs=1,
         data_minibatch=128, log_every=10_000, init_sd=1e-3,
     )
+    import jax.numpy as jnp
+
     keys = tp.keys
     states = tp.states
-    # warmup/compile
-    states, _ = tp._vstep(states, keys)
-    jax.block_until_ready(jax.tree_util.tree_leaves(states)[0])
+    # chained dispatch: all `steps` vmapped trial-steps in ONE executable
+    # (TrialParallelPSVI._vmulti — the production run() path)
+    states, losses = tp._vmulti(
+        states, keys, jnp.int32(0), jnp.int32(steps), steps
+    )  # warmup/compile
+    jax.block_until_ready(losses)
     t0 = time.perf_counter()
-    for i in range(steps):
-        fold = jax.vmap(lambda k: jax.random.fold_in(k, i))
-        states, _ = tp._vstep(states, fold(keys))
-    jax.block_until_ready(jax.tree_util.tree_leaves(states)[0])
+    states, losses = tp._vmulti(
+        states, keys, jnp.int32(steps), jnp.int32(steps), steps
+    )
+    _ = np.asarray(losses)  # force completion
     dt = time.perf_counter() - t0
     total_trial_steps = steps * n_dev * trials_per_dev
     return total_trial_steps / dt
@@ -72,6 +77,58 @@ def bench_data_parallel(data, n_dev, steps=20, B=512):
     return steps / (time.perf_counter() - t0)
 
 
+def bench_mfvi_dp(n_dev, steps=10, B=512, S=8, hidden=512):
+    """MFVI full-data flow (no inner loop — the data term IS the step)
+    with the minibatch sharded over 'data'. The config where batch-DP is
+    projected to win (SCALING.md round-1 note)."""
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from psvi_tpu.inference.baselines import _MFVI
+
+    data = read_dataset("synth_lr_100")
+    mesh = make_mesh(data=n_dev)
+    m = _MFVI(data, "fn2", hidden, 2, S, 1e-3, 1e-3, B, 0, 1)
+    x, y = jnp.asarray(data.x), jnp.asarray(data.y)
+    n_train = data.N
+    sx = NamedSharding(mesh, P("data", None))
+    sy = NamedSharding(mesh, P("data"))
+
+    def step(params, opt_state, key):
+        kb, ke = jax.random.split(key)
+        idx = jax.random.choice(kb, n_train, (B,), replace=False)
+        xb = jax.lax.with_sharding_constraint(x[idx], sx)
+        yb = jax.lax.with_sharding_constraint(y[idx], sy)
+        eps = m.net.sample_eps(ke, S)
+        loss, g = jax.value_and_grad(m.elbo_loss)(
+            params, eps, xb, yb, n_train / B, "categorical", None
+        )
+        params, opt_state = m.opt.step(params, g, opt_state)
+        return params, opt_state, loss
+
+    @jax.jit
+    def multi(params, opt_state, key, n_steps=steps):
+        keys = jax.random.split(key, steps)
+
+        def body(carry, k):
+            p, o = carry
+            p, o, loss = step(p, o, k)
+            return (p, o), loss
+
+        (params, opt_state), losses = jax.lax.scan(
+            body, (params, opt_state), keys
+        )
+        return params, opt_state, losses
+
+    p, o = m.params, m.opt_state
+    p, o, losses = multi(p, o, jax.random.PRNGKey(0))
+    jax.block_until_ready(losses)
+    t0 = time.perf_counter()
+    p, o, losses = multi(p, o, jax.random.PRNGKey(1))
+    _ = np.asarray(losses)
+    return steps / (time.perf_counter() - t0)
+
+
 def main():
     data = read_dataset("halfmoon")
     n_devices = len(jax.devices())
@@ -92,6 +149,12 @@ def main():
         sps = bench_data_parallel(data, n)
         dp_rows.append((n, sps))
         print(f"data axis={n}: {sps:.1f} steps/s")
+
+    mfvi_rows = []
+    for n in sizes:
+        sps = bench_mfvi_dp(n)
+        mfvi_rows.append((n, sps))
+        print(f"mfvi data axis={n}: {sps:.2f} steps/s")
 
     lines = [
         "# SCALING — trial-parallel efficiency",
@@ -119,6 +182,16 @@ def main():
         "| data-axis devices | steps/s |",
         "|---|---|",
         *[f"| {n} | {sps:.1f} |" for n, sps in dp_rows],
+        "",
+        "## Batch-DP on the MFVI full-data flow (where it wins)",
+        "",
+        "`run_mfvi`-family steps have NO inner loop — the sharded data-NLL",
+        "term IS the whole step (fn2 100→512→512→2, S=8, B=512, chained",
+        "10-step scan; `run_mfvi(mesh=…, shard_batch=True)`):",
+        "",
+        "| data-axis devices | steps/s |",
+        "|---|---|",
+        *[f"| {n} | {sps:.2f} |" for n, sps in mfvi_rows],
     ]
     lines += [
         "",

@@ -1,0 +1,295 @@
+"""Wall-clock-to-accuracy study: psvi_tpu (TPU) vs the torch reference (CPU)
+on the NON-SATURATING `synth_mnist_hard` benchmark (round-1 VERDICT item 1).
+
+`synth_mnist` saturates to acc 1.0 by epoch 10, so "wall-clock to reference
+accuracy" was never a meaningful number. `synth_mnist_hard` has a controlled
+Bayes ceiling ≈ 0.90 (measured by the nearest-template-over-shifts MAP rule,
+`data/synthetic.nearest_template_accuracy`), so the accuracy trajectory is
+informative all the way to the plateau.
+
+Protocol = the reference production MNIST/LeNet config
+(`/root/reference/second_vi_run.ipynb` cell 10): psvi_learn_v, LeNet,
+minibatch 256, S=10, inner_it=20, 101 outer epochs, log_every=10,
+lr0net 1e-3, lr0u 1e-2, lr0v 1e-2, seeds = trial indices. SAME data arrays
+on both stacks. Both stacks record cumulative wall-clock at every log point
+(including compile — the torch side has none, ours pays XLA compile inside
+trial 0's curve) and the NESS trajectory (VERDICT weak #3).
+
+Usage:
+  python scripts/wallclock_to_accuracy.py --stack ours --sizes 30 100 --trials 3
+  python scripts/wallclock_to_accuracy.py --stack ref  --sizes 30 100 --trials 3
+  python scripts/wallclock_to_accuracy.py --report   # merge JSONs -> RESULTS.md section
+
+Each stack invocation writes results/wallclock_{stack}.json; --report
+renders the comparison table.
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, "/root/repo")
+
+OUT_DIR = "/root/repo/results"
+CFG = dict(
+    mc_samples=10, inner_it=20, num_epochs=101, data_minibatch=256,
+    log_every=10, init_sd=1e-3, lr0net=1e-3, lr0u=1e-2, lr0v=1e-2,
+    lr0alpha=1e-3,
+)
+
+
+def _true_elapsed(times):
+    """Both stacks record ``times[k] = times[k-1] + (now - t_start)`` — a
+    cumulative sum of cumulative elapsed (a reference bookkeeping quirk our
+    engine mirrors for key parity, psvi_classes.py:916 / psvi.py). Invert
+    to the true elapsed-since-start at each checkpoint by differencing."""
+    out, prev = [], 0.0
+    for t in times:
+        out.append(t - prev)
+        prev = t
+    return out
+
+
+def build_data():
+    """The benchmark arrays, bit-identical for both stacks (seed 0), plus
+    the measured Bayes ceiling."""
+    from psvi_tpu.data import synthetic
+    from psvi_tpu.data.datasets import DataBundle
+
+    rng = np.random.default_rng(0)
+    x, y, xt, yt, templates = synthetic.make_synth_images_hard(rng=rng)
+    bundle = DataBundle(x, y, xt, yt, len(x), 28 * 28, 10, channels=1)
+    ceiling = synthetic.nearest_template_accuracy(xt, yt, templates)
+    return bundle, ceiling
+
+
+def run_ours(data, sizes, trials):
+    import jax  # noqa: F401
+
+    from psvi_tpu.inference.psvi import PSVI
+    from psvi_tpu.utils.cache import enable_persistent_compile_cache
+
+    # amortize XLA compiles across harness invocations exactly as the CLI
+    # does (experiments.main) — trial 0 still pays any cache MISS inside
+    # its wall-clock curve, which is the honest number
+    enable_persistent_compile_cache()
+
+    out = {}
+    for M in sizes:
+        eng = None
+        per_trial = []
+        for seed in range(trials):
+            t0 = time.time()
+            if eng is None:
+                # trial 0 pays XLA compile inside its wall-clock curve
+                eng = PSVI(
+                    data, method="psvi_learn_v", num_pseudo=M,
+                    architecture="lenet", seed=seed, **CFG,
+                )
+            else:
+                # sequential trials reuse the compiled executables —
+                # exactly what a user running 3 trials pays
+                eng.reseed(seed)
+            res = eng.run_psvi()
+            per_trial.append({
+                "seed": seed,
+                "accs": [float(a) for a in res["accs"]],
+                "nlls": [float(n) for n in res["nlls"]],
+                "times": _true_elapsed([float(t) for t in res["times"]]),
+                "ness": [float(s) for s in res["ness"]],
+                "wall": time.time() - t0,
+            })
+            print(f"[ours M={M} seed={seed}] final acc "
+                  f"{per_trial[-1]['accs'][-1]:.4f} "
+                  f"wall {per_trial[-1]['wall']:.1f}s", flush=True)
+        out[str(M)] = per_trial
+    return out
+
+
+def _stub_reference_deps():
+    import types
+
+    for name in ["torchvision", "torchvision.transforms",
+                 "torchvision.datasets", "arff", "requests", "faiss"]:
+        if name not in sys.modules:
+            try:
+                __import__(name)
+            except Exception:
+                mod = types.ModuleType(name)
+                sys.modules[name] = mod
+                if "." in name:
+                    parent, child = name.rsplit(".", 1)
+                    setattr(sys.modules[parent], child, mod)
+
+
+def run_ref(data, sizes, trials):
+    sys.path.insert(0, "/root/reference")
+    _stub_reference_deps()
+    import torch
+
+    from psvi.experiments.experiments_utils import SynthDataset
+    from psvi.inference import psvi_classes as PC
+    from psvi.inference.psvi_classes import PSVILearnV
+
+    # Shipped-defect patch (documented in PARITY.md): the reference's
+    # subsample init routes every dataset through
+    # SubsetPreservingTransforms, whose __getitem__ FLATTENS any dataset
+    # whose dnm is not one of the three hard-coded torchvision names to
+    # (D,) (psvi_classes.py:66-68) — u becomes (M, 784) while batches stay
+    # (B, 1, 28, 28) and evaluate() crashes at torch.cat. Keep the image
+    # shape for tensor datasets instead.
+    def _getitem_keep_shape(self, idx):
+        item = self.dataset.data[self.indices[idx]]
+        if self.dnm in {"MNIST", "FashionMNIST", "Cifar10"}:
+            raise RuntimeError("patched path is tensor-dataset only")
+        if item.dim() > 2:  # image tensor (1, C, H, W) from (k,1) indices
+            return item.reshape(item.shape[-3:])
+        return item.reshape((self.dim,))
+
+    PC.SubsetPreservingTransforms.__getitem__ = _getitem_keep_shape
+
+    train = SynthDataset(torch.from_numpy(data.x), torch.from_numpy(data.y))
+    test = SynthDataset(torch.from_numpy(data.xt), torch.from_numpy(data.yt))
+    out = {}
+    for M in sizes:
+        per_trial = []
+        for seed in range(trials):
+            torch.manual_seed(seed)
+            t0 = time.time()
+            obj = PSVILearnV(
+                train_dataset=train, test_dataset=test, N=data.N, D=data.D,
+                nc=data.nc, num_pseudo=M, mc_samples=CFG["mc_samples"],
+                seed=seed, dnm="synth_mnist_hard", register_elbos=False,
+                compute_weights_entropy=True, lr0alpha=CFG["lr0alpha"],
+            )
+            res = obj.run_psvi(
+                init_args="subsample", trainer="nested",
+                architecture="lenet", logistic_regression=False,
+                n_hidden=100, n_layers=1,
+                log_every=CFG["log_every"], inner_it=CFG["inner_it"],
+                data_minibatch=CFG["data_minibatch"],
+                lr0net=CFG["lr0net"], lr0u=CFG["lr0u"], lr0v=CFG["lr0v"],
+                init_sd=CFG["init_sd"], num_epochs=CFG["num_epochs"],
+            )
+            per_trial.append({
+                "seed": seed,
+                "accs": [float(a) for a in res["accs"]],
+                "nlls": [float(n) for n in res["nlls"]],
+                "times": _true_elapsed([float(t) for t in res["times"]]),
+                "ness": [float(s) for s in res["ness"]],
+                "wall": time.time() - t0,
+            })
+            print(f"[ref M={M} seed={seed}] final acc "
+                  f"{per_trial[-1]['accs'][-1]:.4f} "
+                  f"wall {per_trial[-1]['wall']:.1f}s", flush=True)
+        out[str(M)] = per_trial
+    return out
+
+
+def time_to_accuracy(trial, target):
+    """First cumulative wall-clock at which the acc trajectory reaches
+    target (None if never)."""
+    for a, t in zip(trial["accs"], trial["times"]):
+        if a >= target:
+            return t
+    return None
+
+
+def report(ceiling):
+    ours = json.load(open(f"{OUT_DIR}/wallclock_ours.json"))
+    ref = json.load(open(f"{OUT_DIR}/wallclock_ref.json"))
+    lines = [
+        "## Wall-clock to accuracy — non-saturating benchmark "
+        "(synth_mnist_hard)",
+        "",
+        f"Bayes ceiling of the generative family: **{ceiling:.3f}** "
+        "(nearest-template-over-shifts MAP rule; see "
+        "`data/synthetic.make_synth_images_hard`). Production reference "
+        "config (second_vi_run.ipynb cell 10): psvi_learn_v / LeNet, "
+        "minibatch 256, S=10, inner_it=20, 101 epochs, 3 trials, same "
+        "arrays + seeds on both stacks. Reference = torch CPU (as shipped, "
+        "no GPU in this host); ours = one TPU v5e chip. Times include "
+        "compile (ours pays XLA compile inside trial 0).",
+        "",
+        "| M | stack | final acc (mean±sd) | final NESS | time to target "
+        "(per trial, s) | mean s/trial | speedup |",
+        "|---|---|---|---|---|---|---|",
+    ]
+    summary = {}
+    for M in sorted(set(ours) & set(ref), key=int):
+        ro, rr = ours[M], ref[M]
+        fo = [t["accs"][-1] for t in ro]
+        fr = [t["accs"][-1] for t in rr]
+        # target = reference mean final acc − 0.5 % (the BASELINE.md
+        # "reference accuracy ±0.5%" criterion)
+        target = float(np.mean(fr)) - 0.005
+        tto = [time_to_accuracy(t, target) for t in ro]
+        ttr = [time_to_accuracy(t, target) for t in rr]
+        wo = float(np.mean([t["wall"] for t in ro]))
+        wr = float(np.mean([t["wall"] for t in rr]))
+        mult = (float(np.mean([t for t in ttr if t]))
+                / float(np.mean([t for t in tto if t]))
+                if all(tto) and any(ttr) else None)
+        fmt_t = lambda ts: ", ".join("—" if t is None else f"{t:.0f}"
+                                     for t in ts)
+        nso = float(np.mean([t["ness"][-1] for t in ro]))
+        nsr = float(np.mean([t["ness"][-1] for t in rr]))
+        lines.append(
+            f"| {M} | reference | {np.mean(fr):.4f}±{np.std(fr):.4f} | "
+            f"{nsr:.3f} | {fmt_t(ttr)} | {wr:.0f} | 1× |"
+        )
+        lines.append(
+            f"| {M} | psvi_tpu | {np.mean(fo):.4f}±{np.std(fo):.4f} | "
+            f"{nso:.3f} | {fmt_t(tto)} | {wo:.0f} | "
+            f"{'—' if mult is None else f'{mult:.0f}×'} (time-to-target) |"
+        )
+        summary[M] = {
+            "target": target, "mult_time_to_target": mult,
+            "ours_final": float(np.mean(fo)), "ref_final": float(np.mean(fr)),
+            "ours_wall": wo, "ref_wall": wr,
+            "ours_ness_final": nso, "ref_ness_final": nsr,
+        }
+    lines.append("")
+    text = "\n".join(lines)
+    print(text)
+    with open(f"{OUT_DIR}/wallclock_summary.json", "w") as f:
+        json.dump(summary, f, indent=1)
+    return text
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--stack", choices=["ours", "ref"], default=None)
+    ap.add_argument("--sizes", nargs="+", type=int, default=[30, 100])
+    ap.add_argument("--trials", type=int, default=3)
+    ap.add_argument("--epochs", type=int, default=None,
+                    help="override num_epochs (smoke runs)")
+    ap.add_argument("--report", action="store_true")
+    args = ap.parse_args()
+    if args.epochs:
+        CFG["num_epochs"] = args.epochs
+
+    os.makedirs(OUT_DIR, exist_ok=True)
+    data, ceiling = build_data()
+    print(f"bayes ceiling: {ceiling:.4f}", flush=True)
+
+    if args.report:
+        report(ceiling)
+        return
+    if args.stack == "ours":
+        res = run_ours(data, args.sizes, args.trials)
+    elif args.stack == "ref":
+        res = run_ref(data, args.sizes, args.trials)
+    else:
+        raise SystemExit("pass --stack ours|ref or --report")
+    with open(f"{OUT_DIR}/wallclock_{args.stack}.json", "w") as f:
+        json.dump(res, f)
+    print(f"wrote {OUT_DIR}/wallclock_{args.stack}.json")
+
+
+if __name__ == "__main__":
+    main()

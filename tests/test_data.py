@@ -69,3 +69,27 @@ def test_regression_dataset_normalization():
 def test_unknown_dataset():
     with pytest.raises(ValueError):
         read_dataset("nope")
+
+
+def test_synth_mnist_hard_shapes_and_ceiling():
+    """The non-saturating benchmark family: MNIST-shaped, deterministic per
+    seed, with a measured Bayes ceiling strictly inside (0.8, 0.98) — the
+    property the wall-clock-to-accuracy study depends on."""
+    from psvi_tpu.data import synthetic
+
+    d = read_dataset("synth_mnist_hard")
+    assert d.x.shape == (6000, 1, 28, 28)
+    assert d.xt.shape == (1000, 1, 28, 28)
+    assert d.nc == 10 and d.channels == 1
+    d2 = read_dataset("synth_mnist_hard")
+    np.testing.assert_array_equal(d.x[:16], d2.x[:16])  # deterministic
+
+    rng = np.random.default_rng(0)
+    x, y, xt, yt, templates = synthetic.make_synth_images_hard(
+        n_per_class=40, n_test_per_class=40, rng=rng
+    )
+    ceiling = synthetic.nearest_template_accuracy(xt, yt, templates)
+    assert 0.8 < ceiling < 0.98, ceiling
+    # label noise really present: some train labels differ from the
+    # nearest-template MAP assignment even at zero pixel noise distance
+    assert ceiling < 1.0

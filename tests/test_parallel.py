@@ -141,6 +141,22 @@ def test_shard_mc_validation():
 
 
 @needs_8
+def test_mfvi_batch_sharded_matches_replicated(halfmoon):
+    """run_mfvi(mesh=…, shard_batch=True) — the full-data flow where
+    batch-DP pays (no inner loop) — must match unsharded numerics."""
+    from psvi_tpu.inference.baselines import run_mfvi
+
+    kw = dict(train=halfmoon, N=halfmoon.N, D=halfmoon.D, nc=2,
+              architecture="fn", n_hidden=16, mc_samples=4,
+              data_minibatch=32, num_epochs=5, log_every=2, mul_fact=1,
+              seed=0, lr0net=1e-3)
+    r0 = run_mfvi(**kw)
+    r1 = run_mfvi(**kw, mesh=make_mesh(trial=1, data=8), shard_batch=True)
+    np.testing.assert_allclose(r0["accs"], r1["accs"], atol=1e-6)
+    np.testing.assert_allclose(r0["elbos"], r1["elbos"], rtol=1e-4)
+
+
+@needs_8
 def test_dryrun_multichip_entry():
     import sys
 
