@@ -163,6 +163,15 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=["cg_normaleq", "fixed_point", "neumann"],
                    help="AID solver for --trainer hyper (ref hyper_step "
                         "dispatch, psvi_classes.py:610,658-675)")
+    p.add_argument("--stream_data", action="store_true",
+                   help="host-streamed minibatches (train set stays in host "
+                        "RAM; for datasets beyond HBM — ref DataLoader "
+                        "semantics, psvi_classes.py:810-821)")
+    p.add_argument("--inner_optimizer", type=str, default="adam",
+                   choices=["adam", "adamw", "sgd", "heavy_ball", "rmsprop",
+                            "adagrad", "adadelta", "adamax", "asgd", "rprop"],
+                   help="inner-loop differentiable optimizer (ref zoo "
+                        "robust_higher/optim.py:264-756)")
     p.add_argument("--hyper_K", type=int, default=30,
                    help="AID solver iterations (ref K=30, "
                         "psvi_classes.py:664)")

@@ -122,6 +122,11 @@ class PSVI:
         # psvi_classes.py:610,658-675); 'neumann' is the extra solver from
         # the vendored hypertorch stack (hypergradients.py:247-278)
         hypergrad_approx: str = "cg_normaleq",
+        # inner-loop optimizer by reference name (the reference's
+        # DifferentiableOptimizer zoo, robust_higher/optim.py:264-756 —
+        # its engines only ever instantiate Adam, but the zoo is part of
+        # the surface); see ops/optim.REGISTRY
+        inner_optimizer: str = "adam",
         truncated: bool = False,
         truncated_K: int = 5,
         remat_inner: bool = False,
@@ -147,6 +152,12 @@ class PSVI:
         # constraint; the IW softmax / Σ over S lower to XLA collectives
         # (SURVEY §2.6; ref S axis in neural_net.py:155-170)
         shard_mc: bool = False,
+        # host-streamed minibatches: the train set stays in host RAM and
+        # each chained dispatch ships only its (n_slots, B, ...) batch
+        # stack — the reference's DataLoader semantics
+        # (psvi_classes.py:810-821) for datasets beyond HBM. Bit-identical
+        # batch selection to the device-resident path (same PRNG keys).
+        stream_data: bool = False,
         mfvi_selection_method: str = "random",
         pretrain_epochs: int = 5,
         data_folder: Optional[str] = None,
@@ -211,6 +222,12 @@ class PSVI:
                 "(expected cg_normaleq | fixed_point | neumann)"
             )
         self.hypergrad_approx = hypergrad_approx
+        if inner_optimizer.lower() not in O.REGISTRY:
+            raise ValueError(
+                f"unknown inner_optimizer {inner_optimizer!r}; "
+                f"available: {sorted(O.REGISTRY)}"
+            )
+        self.inner_optimizer = inner_optimizer.lower()
         self.truncated, self.truncated_K = truncated, truncated_K
         self.remat_inner = remat_inner
         self.inner_unroll = max(int(inner_unroll), 1)
@@ -248,9 +265,17 @@ class PSVI:
 
         self.key = trial_key(seed, 0)
 
-        # device-resident data
-        self.x_train = jnp.asarray(data.x)
-        self.y_train = jnp.asarray(data.y)
+        # device-resident data (or host-resident train set when streaming)
+        if stream_data and increment:
+            raise ValueError(
+                "stream_data is incompatible with incremental learning "
+                "(the growing task re-materializes the train set; "
+                "incremental datasets are small by construction)"
+            )
+        self.stream_data = stream_data
+        self._train_asarray = np.asarray if stream_data else jnp.asarray
+        self.x_train = self._train_asarray(data.x)
+        self.y_train = self._train_asarray(data.y)
         self.x_test = jnp.asarray(data.xt)
         self.y_test = jnp.asarray(data.yt)
 
@@ -262,8 +287,8 @@ class PSVI:
             self.nc = 2
             tr_mask = np.isin(np.asarray(data.y), [0, 1])
             te_mask = np.isin(np.asarray(data.yt), [0, 1])
-            self.x_train = jnp.asarray(np.asarray(data.x)[tr_mask])
-            self.y_train = jnp.asarray(np.asarray(data.y)[tr_mask])
+            self.x_train = self._train_asarray(np.asarray(data.x)[tr_mask])
+            self.y_train = self._train_asarray(np.asarray(data.y)[tr_mask])
             self.x_test = jnp.asarray(np.asarray(data.xt)[te_mask])
             self.y_test = jnp.asarray(np.asarray(data.yt)[te_mask])
             self.train_data_so_far = int(tr_mask.sum())
@@ -345,8 +370,8 @@ class PSVI:
         ftx, fty = self._full_xy_test
         tr_mask = np.isin(fy, [0, 1])
         te_mask = np.isin(fty, [0, 1])
-        self.x_train = jnp.asarray(fx[tr_mask])
-        self.y_train = jnp.asarray(fy[tr_mask])
+        self.x_train = self._train_asarray(fx[tr_mask])
+        self.y_train = self._train_asarray(fy[tr_mask])
         self.x_test = jnp.asarray(ftx[te_mask])
         self.y_test = jnp.asarray(fty[te_mask])
         self.train_data_so_far = int(tr_mask.sum())
@@ -507,7 +532,7 @@ class PSVI:
         self.opt_joint = O.adam(self.lrs["joint"])
         # retrain phase uses a FRESH Adam at lr0joint (ref :971)
         self.opt_retrain = O.adam(self.lrs["joint"])
-        self.inner_opt = O.adam(self.lrs["net"])
+        self.inner_opt = O.make(self.inner_optimizer, self.lrs["net"])
 
         # StepLR schedule for the net lr (ref :803-807,864-866)
         epoch_quarter = (self.N // self.data_minibatch) // 4
@@ -666,11 +691,26 @@ class PSVI:
             opt_z=opt_z, opt_alpha=opt_alpha,
         )
 
-    def _nested_step(self, state: PSVIState, key):
+    def _get_batch(self, k_batch, batch):
+        """Minibatch source: device-resident index-gather by default, or a
+        host-streamed batch passed in as an argument (``stream_data=True`` —
+        the reference's host DataLoader semantics, psvi_classes.py:810-821,
+        for datasets that do not fit in HBM; SURVEY §2.6 host data layer).
+        Streamed batches still get the data-parallel sharding constraint."""
+        if batch is None:
+            return self._sample_batch(k_batch)
+        xb, yb = batch
+        if self.batch_shardings is not None:
+            sx, sy = self.batch_shardings
+            xb = jax.lax.with_sharding_constraint(xb, sx)
+            yb = jax.lax.with_sharding_constraint(yb, sy)
+        return xb, yb
+
+    def _nested_step(self, state: PSVIState, key, batch=None):
         """Bilevel step: differentiate the outer IW-ELBO through the unrolled
         inner loop (ref ``nested_step`` :541-600)."""
         k_batch, k_inner, k_outer = jax.random.split(key, 3)
-        xb, yb = self._sample_batch(k_batch)
+        xb, yb = self._get_batch(k_batch, batch)
         lr_now = self.lr_net_sched(state.net_step)
         hyper = self._hyper_tree(state)
 
@@ -711,11 +751,11 @@ class PSVI:
         )
         return state, {"outer_loss": loss, "inner_losses": inner_losses}
 
-    def _joint_step(self, state: PSVIState, key):
+    def _joint_step(self, state: PSVIState, key, batch=None):
         """Single-level step on (net params, u[, v]) (ref ``joint_step``
         :517-525; optimizer built at :876-882 — z and alpha excluded)."""
         k_batch, k_eps = jax.random.split(key)
-        xb, yb = self._sample_batch(k_batch)
+        xb, yb = self._get_batch(k_batch, batch)
         eps = self._sample_eps(k_eps, self.mc_samples)
 
         leaves = {"params": state.params, "u": state.u}
@@ -736,11 +776,11 @@ class PSVI:
         )
         return state, {"outer_loss": loss, "inner_losses": jnp.zeros((1,))}
 
-    def _alternating_step(self, state: PSVIState, key):
+    def _alternating_step(self, state: PSVIState, key, batch=None):
         """Alternate a net step and a u step on the outer objective
         (ref ``alternating_step`` :527-539)."""
         k_batch, k1, k2 = jax.random.split(key, 3)
-        xb, yb = self._sample_batch(k_batch)
+        xb, yb = self._get_batch(k_batch, batch)
 
         eps = self._sample_eps(k1, self.mc_samples)
         loss0, gp = jax.value_and_grad(
@@ -760,11 +800,11 @@ class PSVI:
         # (→ outer_loss slot) and the i=1 U step tagged 1 (→ inner slot)
         return state, {"outer_loss": loss0, "inner_losses": loss1[None]}
 
-    def _hyper_step(self, state: PSVIState, key):
+    def _hyper_step(self, state: PSVIState, key, batch=None):
         """AID/IFT step: plain inner solve then CG-normal-equations
         hypergradient (ref ``hyper_step`` :602-687)."""
         k_batch, k_inner, k_ift, k_outer = jax.random.split(key, 4)
-        xb, yb = self._sample_batch(k_batch)
+        xb, yb = self._get_batch(k_batch, batch)
         # the reference's hyper_step never steps scheduler_optim_net
         # (:602-687; scheduler.step only in nested_step :592-593), so the
         # inner solve runs at constant lr0net
@@ -944,6 +984,65 @@ class PSVI:
         self._multi_step_dyn = jax.jit(
             multi_step_dyn, static_argnums=(3,), donate_argnums=(0,)
         )
+
+        if self.stream_data:
+            # host-streamed variants: the batch stack arrives as an argument
+            # instead of being gathered from device-resident arrays. The
+            # batch PRNG keys are replicated host-side in _stream_batches so
+            # batch selection is bit-identical to the resident path.
+            self._step_stream = jax.jit(
+                lambda state, key, xb, yb: step(state, key, (xb, yb)),
+                donate_argnums=(0,),
+            )
+
+            def multi_step_dyn_stream(state, key, xbs, ybs, n_active,
+                                      n_slots: int):
+                keys = jax.random.split(key, n_slots)
+                idx = jnp.arange(n_slots)
+
+                def body(s, kin):
+                    k, i, xb, yb = kin
+
+                    def do(s):
+                        s2, aux = step(s, k, (xb, yb))
+                        return s2, aux["outer_loss"]
+
+                    def skip(s):
+                        return s, jnp.float32(jnp.nan)
+
+                    return jax.lax.cond(i < n_active, do, skip, s)
+
+                state, losses = jax.lax.scan(
+                    body, state, (keys, idx, xbs, ybs)
+                )
+                return state, losses
+
+            self._multi_step_dyn_stream = jax.jit(
+                multi_step_dyn_stream, static_argnums=(5,),
+                donate_argnums=(0,),
+            )
+
+            # each trainer splits its step key differently; k_batch is
+            # always the FIRST key of that split (steps at _nested_step /
+            # _joint_step / _alternating_step / _hyper_step)
+            nsplit = {"nested": 3, "joint": 2, "alternating": 3,
+                      "hyper": 4}[
+                "nested" if self.spec.evaluate_only else self.trainer
+            ]
+            n_now, B = self.n_train_now, self.data_minibatch
+
+            def one_idx(k):
+                kb = jax.random.split(k, nsplit)[0]
+                return jax.random.choice(kb, n_now, (B,), replace=False)
+
+            self._batch_index1 = jax.jit(one_idx)
+            self._batch_indices = jax.jit(
+                lambda key, n_slots: jax.vmap(one_idx)(
+                    jax.random.split(key, n_slots)
+                ),
+                static_argnums=(1,),
+            )
+
         self._eval = jax.jit(partial(self._evaluate_fn, correction=True))
         self._eval_nocorr = jax.jit(partial(self._evaluate_fn, correction=False))
         self._retrain = jax.jit(self._retrain_step, donate_argnums=(0,))
@@ -1117,7 +1216,9 @@ class PSVI:
         tr_mask = np.asarray(fy) == new_cls
         x_new = np.concatenate([fx[tr_mask], rep_u])
         y_new = np.concatenate([fy[tr_mask], rep_z])
-        self.x_train, self.y_train = jnp.asarray(x_new), jnp.asarray(y_new)
+        self.x_train, self.y_train = (
+            self._train_asarray(x_new), self._train_asarray(y_new),
+        )
         ftx, fty = self._full_xy_test
         te_mask = np.isin(fty, list(range(new_cls + 1)))
         self.x_test, self.y_test = (
@@ -1194,15 +1295,34 @@ class PSVI:
                     self.num_epochs - it,
                 )
                 n_slots = min(self.log_every, self.num_epochs)
-                self.state, losses = self._multi_step_dyn(
-                    self.state, k_step, jnp.int32(n), n_slots
-                )
+                if self.stream_data:
+                    # gather the whole chunk's batches from host RAM and
+                    # ship one (n_slots, B, ...) stack per dispatch
+                    idxs = np.asarray(self._batch_indices(k_step, n_slots))
+                    self.state, losses = self._multi_step_dyn_stream(
+                        self.state, k_step,
+                        jnp.asarray(self.x_train[idxs]),
+                        jnp.asarray(self.y_train[idxs]),
+                        jnp.int32(n), n_slots,
+                    )
+                else:
+                    self.state, losses = self._multi_step_dyn(
+                        self.state, k_step, jnp.int32(n), n_slots
+                    )
                 for _ in range(n):
                     log_resource.update()
                 it += n
                 continue
 
-            self.state, aux = self._step(self.state, k_step)
+            if self.stream_data:
+                idx1 = np.asarray(self._batch_index1(k_step))
+                self.state, aux = self._step_stream(
+                    self.state, k_step,
+                    jnp.asarray(self.x_train[idx1]),
+                    jnp.asarray(self.y_train[idx1]),
+                )
+            else:
+                self.state, aux = self._step(self.state, k_step)
             if self.register_elbos:
                 # stream tags (ref :521-559): 0=outer, 1=inner, 2=joint
                 tag = 2 if self.trainer == "joint" else 0

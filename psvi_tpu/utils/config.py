@@ -29,6 +29,10 @@ class ExperimentConfig:
     trainer: str = "nested"  # nested | hyper | joint | alternating
     # AID solver for trainer='hyper' (ref psvi_classes.py:610,658-675)
     hypergrad_approx: str = "cg_normaleq"  # cg_normaleq | fixed_point | neumann
+    # inner-loop differentiable optimizer (ref robust_higher/optim.py zoo)
+    inner_optimizer: str = "adam"
+    # host-streamed minibatches for beyond-HBM datasets
+    stream_data: bool = False
     diagonal: bool = True  # diagonal vs full covariance for laplace baselines
     # GIGA growth cadence: 'log_every' = reference-faithful (grows only on
     # logged iterations, a shipped indentation defect, ref baselines.py:326);

@@ -186,7 +186,11 @@ def run_ref(data, sizes, trials):
             print(f"[ref M={M} seed={seed}] final acc "
                   f"{per_trial[-1]['accs'][-1]:.4f} "
                   f"wall {per_trial[-1]['wall']:.1f}s", flush=True)
-        out[str(M)] = per_trial
+            out[str(M)] = per_trial
+            # the torch stack is ~115 s/outer-step on this 2-core host —
+            # persist after every trial so a timeout loses nothing
+            with open(f"{OUT_DIR}/wallclock_ref_partial.json", "w") as f:
+                json.dump(out, f)
     return out
 
 

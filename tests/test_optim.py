@@ -112,3 +112,86 @@ def test_adam_hypergrad_finite_at_exactly_zero_grad():
 
     val, grad = jax.value_and_grad(outer)(jnp.float32(0.5))
     assert np.isfinite(float(val)) and np.isfinite(float(grad))
+
+
+# --- round 2: the full DifferentiableOptimizer zoo vs torch.optim ---------
+# Reference vendored zoo: robust_higher/optim.py:264-756 registers
+# SGD/Adam/AdamW/Adadelta/Adagrad/Adamax/ASGD/RMSprop/Rprop. torch.optim is
+# the oracle because the vendored classes reproduce torch update rules.
+
+_ZOO_CASES = [
+    ("adamw", dict(lr=0.05), "AdamW", dict(lr=0.05)),
+    ("rmsprop", dict(lr=0.05), "RMSprop", dict(lr=0.05)),
+    ("rmsprop", dict(lr=0.05, momentum=0.9, centered=True),
+     "RMSprop", dict(lr=0.05, momentum=0.9, centered=True)),
+    ("adagrad", dict(lr=0.1, lr_decay=0.01), "Adagrad",
+     dict(lr=0.1, lr_decay=0.01)),
+    ("adadelta", dict(lr=1.0), "Adadelta", dict(lr=1.0)),
+    ("adamax", dict(lr=0.02), "Adamax", dict(lr=0.02)),
+    ("asgd", dict(lr=0.05), "ASGD", dict(lr=0.05)),
+    ("rprop", dict(lr=0.01), "Rprop", dict(lr=0.01)),
+]
+
+
+@pytest.mark.parametrize("name,jkw,tname,tkw", _ZOO_CASES,
+                         ids=[f"{c[0]}-{i}" for i, c in enumerate(_ZOO_CASES)])
+def test_zoo_matches_torch(name, jkw, tname, tkw):
+    if not reference_available:
+        pytest.skip("torch oracle unavailable")
+    import torch
+
+    p0 = np.array([1.0, -2.0, 0.5, 3.0], np.float32)
+    tp = torch.nn.Parameter(torch.tensor(p0))
+    topt = getattr(torch.optim, tname)([tp], **tkw)
+    jopt = O.make(name, **jkw)
+    jp = jnp.asarray(p0)
+    state = jopt.init(jp)
+    rng = np.random.default_rng(3)
+    for _ in range(9):
+        g = rng.standard_normal(4).astype(np.float32)
+        tp.grad = torch.tensor(g)
+        topt.step()
+        jp, state = jopt.step(jp, jnp.asarray(g), state)
+    np.testing.assert_allclose(
+        np.asarray(jp), tp.detach().numpy(), rtol=2e-5, atol=1e-6
+    )
+
+
+def test_zoo_differentiable_and_registry():
+    """Every zoo member is scan-differentiable (the property that replaces
+    robust_higher's create_graph machinery) and reachable via O.make."""
+    for name in sorted(O.REGISTRY):
+        opt = O.make(name, 0.01)
+
+        def run(p0):
+            state = opt.init(p0)
+
+            def body(carry, _):
+                p, s = carry
+                p, s = opt.step(p, 2.0 * p, s)
+                return (p, s), None
+
+            (p, _), _ = jax.lax.scan(body, (p0, state), None, length=3)
+            return jnp.sum(p**2)
+
+        g = jax.grad(run)(jnp.array([1.0, 2.0]))
+        assert np.all(np.isfinite(np.asarray(g))), name
+
+    with pytest.raises(ValueError):
+        O.make("nadam", 0.01)
+
+
+def test_engine_accepts_inner_optimizer(halfmoon_bundle=None):
+    """PSVI(inner_optimizer=...) validates and threads to the inner loop."""
+    from psvi_tpu.inference.psvi import PSVI
+    from psvi_tpu.data.datasets import DataBundle
+
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((64, 2)).astype(np.float32)
+    y = (x[:, 0] > 0).astype(np.int32)
+    data = DataBundle(x, y, x, y, 64, 2, 2)
+    with pytest.raises(ValueError):
+        PSVI(data, num_pseudo=4, inner_optimizer="nadam")
+    eng = PSVI(data, num_pseudo=4, inner_optimizer="rmsprop",
+               num_epochs=1, inner_it=2, mc_samples=3, log_every=1)
+    assert eng.inner_optimizer == "rmsprop"
