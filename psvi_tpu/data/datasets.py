@@ -13,6 +13,13 @@ Supported names (parity with ``read_dataset``, ref :752-834):
       reference downloads them at run time, impossible under zero egress)
   MNIST, FashionMNIST, Cifar10 — file-gated npz; `synth_mnist`/`synth_cifar`
       provide shape-compatible synthetic stand-ins
+  digits, digits28, breast_cancer — REAL data bundled with scikit-learn
+      (no egress needed): the UCI handwritten-digits images (1797×8×8,
+      10 classes; `digits` = flat 64-d for the fn/logreg families,
+      `digits28` = bilinear-upsampled (1,28,28) for the LeNet/vision
+      pipeline) and the Wisconsin breast-cancer binary benchmark
+      (569×30) — real-data counterparts of the reference's
+      MNIST / phishing flagships
 Regression benchmarks (ref :159-296): sinus (generated), UCI sets file-gated;
 ``hyperparams_for_regression`` tau grids reproduced verbatim.
 """
@@ -110,6 +117,8 @@ def read_dataset(dnm: str, test_ratio: float = 0.2, data_folder: str = "data",
     elif dnm in ("phishing", "adult", "webspam"):
         bundle = _read_binary_benchmark(dnm, data_folder, test_ratio)
         return bundle
+    elif dnm in ("digits", "digits28", "breast_cancer"):
+        return _read_sklearn_real(dnm, test_ratio, rng)
     elif dnm in VISION_DATASETS:
         return _read_vision(dnm, data_folder, rng)
     else:
@@ -151,6 +160,65 @@ def _read_vision(dnm, data_folder, rng):
     N = len(x)
     D = side * side
     return DataBundle(x, y, xt, yt, N, D, nc, channels=channels)
+
+
+def _read_sklearn_real(dnm, test_ratio, rng):
+    """REAL datasets bundled with scikit-learn — no network egress needed.
+
+    - ``digits`` / ``digits28``: UCI optical handwritten digits
+      (1797 samples, 8×8 grayscale, 10 classes). ``digits`` is the flat
+      64-d bundle for the fn/fn2/logreg families; ``digits28`` bilinearly
+      upsamples to (1, 28, 28) so the reference's production LeNet
+      pipeline (``second_vi_run.ipynb``; our flagship config) runs on
+      real images end-to-end.
+    - ``breast_cancer``: Wisconsin diagnostic breast-cancer binary
+      benchmark (569×30) — a real-data stand-in for the reference's
+      phishing/adult logistic-regression flagships
+      (``experiments_utils.py:447-542``), whose raw files cannot be
+      downloaded here (zero egress).
+
+    Features are standardized with TRAIN-split statistics; the split is a
+    deterministic seeded shuffle followed by the reference's split-from-
+    the-end convention (``experiments_utils.py:797-804``).
+    """
+    from sklearn.datasets import load_breast_cancer, load_digits
+
+    if dnm.startswith("digits"):
+        d = load_digits()
+        X = d.images.astype(np.float32) / 16.0  # pixel counts 0..16
+        Y = d.target.astype(np.float32)
+        perm = rng.permutation(len(X))
+        X, Y = X[perm], Y[perm]
+        if dnm == "digits28":
+            from scipy.ndimage import zoom
+
+            X = zoom(X, (1, 3.5, 3.5), order=1)  # 8×8 → 28×28 bilinear
+        mean, std = float(X.mean()), float(X.std())
+        X = (X - mean) / std
+        side = X.shape[-1]
+        test_size = int(test_ratio * len(X))
+        x, xt = X[:-test_size], X[-test_size:]
+        y, yt = Y[:-test_size], Y[-test_size:]
+        if dnm == "digits28":
+            x, xt = x[:, None], xt[:, None]  # (N, 1, 28, 28)
+            return DataBundle(x, y, xt, yt, len(x), side * side, 10,
+                              channels=1)
+        x = x.reshape(len(x), -1)
+        xt = xt.reshape(len(xt), -1)
+        return DataBundle(x, y, xt, yt, len(x), side * side, 10)
+
+    d = load_breast_cancer()
+    X = d.data.astype(np.float32)
+    Y = d.target.astype(np.float32)
+    perm = rng.permutation(len(X))
+    X, Y = X[perm], Y[perm]
+    x, y, xt, yt = _split_train_test(X, Y, test_ratio)
+    mu, sd = x.mean(0), x.std(0)
+    sd = np.where(sd == 0, 1.0, sd)
+    x = (x - mu) / sd
+    xt = (xt - mu) / sd
+    return DataBundle(x.astype(np.float32), y, xt.astype(np.float32), yt,
+                      len(x), X.shape[1], 2)
 
 
 def _read_binary_benchmark(dnm, data_folder, test_ratio):
@@ -270,6 +338,10 @@ def hyperparams_for_regression():
         "wine": [2.5, 3.0, 3.5],
         "year": [0.1, 1.0, 10.0],
         "sinus": [0.1, 1.0, 10.0],
+        # ours: real sklearn-bundled UCI diabetes (no reference grid exists;
+        # chosen so tau·var(y) spans ~5-25, the range the reference grids
+        # occupy on their own targets)
+        "diabetes": [1e-3, 2e-3, 4e-3],
     }
 
 
@@ -294,6 +366,16 @@ def get_regression_benchmark(name, seed=111, data_dir="data/", **split_kwargs):
     if name == "sinus":
         X, Y = synthetic.make_sinus(1000, rng)
         data = np.concatenate([X, Y], axis=-1)
+    elif name == "diabetes":
+        # REAL data bundled with scikit-learn (no egress needed): the UCI
+        # diabetes progression benchmark (442×10) — a real-data member of
+        # the reference's UCI regression family (experiments_utils.py:217-268)
+        from sklearn.datasets import load_diabetes
+
+        d = load_diabetes()
+        data = np.concatenate(
+            [d.data, d.target[:, None]], axis=-1
+        ).astype(np.float64)
     else:
         fname = os.path.join(data_dir, _UCI_FILES.get(name, ""))
         if not os.path.exists(fname):

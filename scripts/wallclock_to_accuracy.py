@@ -54,9 +54,15 @@ def _true_elapsed(times):
     return out
 
 
-def build_data():
+def build_data(dataset="synth_mnist_hard"):
     """The benchmark arrays, bit-identical for both stacks (seed 0), plus
-    the measured Bayes ceiling."""
+    the measured Bayes ceiling (None for real data — unknown)."""
+    if dataset == "digits28":
+        # REAL data (sklearn-bundled UCI handwritten digits, upsampled to
+        # the LeNet 28×28 pipeline — data/datasets._read_sklearn_real)
+        from psvi_tpu.data import read_dataset
+
+        return read_dataset("digits28"), None
     from psvi_tpu.data import synthetic
     from psvi_tpu.data.datasets import DataBundle
 
@@ -126,7 +132,7 @@ def _stub_reference_deps():
                     setattr(sys.modules[parent], child, mod)
 
 
-def run_ref(data, sizes, trials):
+def run_ref(data, sizes, trials, dataset="synth_mnist_hard", suffix=""):
     sys.path.insert(0, "/root/reference")
     _stub_reference_deps()
     import torch
@@ -163,7 +169,7 @@ def run_ref(data, sizes, trials):
             obj = PSVILearnV(
                 train_dataset=train, test_dataset=test, N=data.N, D=data.D,
                 nc=data.nc, num_pseudo=M, mc_samples=CFG["mc_samples"],
-                seed=seed, dnm="synth_mnist_hard", register_elbos=False,
+                seed=seed, dnm=dataset, register_elbos=False,
                 compute_weights_entropy=True, lr0alpha=CFG["lr0alpha"],
             )
             res = obj.run_psvi(
@@ -189,7 +195,8 @@ def run_ref(data, sizes, trials):
             out[str(M)] = per_trial
             # the torch stack is ~115 s/outer-step on this 2-core host —
             # persist after every trial so a timeout loses nothing
-            with open(f"{OUT_DIR}/wallclock_ref_partial.json", "w") as f:
+            with open(f"{OUT_DIR}/wallclock_ref_partial{suffix}.json",
+                      "w") as f:
                 json.dump(out, f)
     return out
 
@@ -214,24 +221,36 @@ def _mean_s_per_step(trials, log_every):
     return float(np.mean(vals)) if vals else float("nan")
 
 
-def report(ceiling):
-    ours = json.load(open(f"{OUT_DIR}/wallclock_ours.json"))
-    ref_path = f"{OUT_DIR}/wallclock_ref.json"
+def report(ceiling, dataset="synth_mnist_hard", suffix=""):
+    ours = json.load(open(f"{OUT_DIR}/wallclock_ours{suffix}.json"))
+    ref_path = f"{OUT_DIR}/wallclock_ref{suffix}.json"
     if not os.path.exists(ref_path):
-        ref_path = f"{OUT_DIR}/wallclock_ref_partial.json"
+        ref_path = f"{OUT_DIR}/wallclock_ref_partial{suffix}.json"
     ref = json.load(open(ref_path))
+    if dataset == "digits28":
+        headline = ("## Wall-clock to accuracy — REAL data "
+                    "(UCI handwritten digits, LeNet pipeline)")
+        data_line = (
+            "Real data: the sklearn-bundled UCI optical handwritten digits "
+            "(1797 images), bilinearly upsampled 8×8 → 28×28 so the "
+            "reference's production LeNet config runs unchanged "
+            "(`data/datasets._read_sklearn_real`). No known Bayes ceiling.")
+    else:
+        headline = ("## Wall-clock to accuracy — non-saturating benchmark "
+                    "(synth_mnist_hard)")
+        data_line = (
+            f"Bayes ceiling of the generative family: **{ceiling:.3f}** "
+            "(nearest-template-over-shifts MAP rule; see "
+            "`data/synthetic.make_synth_images_hard`).")
     lines = [
-        "## Wall-clock to accuracy — non-saturating benchmark "
-        "(synth_mnist_hard)",
+        headline,
         "",
-        f"Bayes ceiling of the generative family: **{ceiling:.3f}** "
-        "(nearest-template-over-shifts MAP rule; see "
-        "`data/synthetic.make_synth_images_hard`). Production reference "
+        data_line + " Production reference "
         "config (second_vi_run.ipynb cell 10): psvi_learn_v / LeNet, "
-        "minibatch 256, S=10, inner_it=20, 101 epochs, 3 trials, same "
-        "arrays + seeds on both stacks. Reference = torch CPU (as shipped, "
-        "no GPU in this host); ours = one TPU v5e chip. Times include "
-        "compile (ours pays XLA compile inside trial 0).",
+        "minibatch 256, S=10, inner_it=20, 101 epochs, "
+        "same arrays + seeds on both stacks. Reference = torch CPU (as "
+        "shipped, no GPU in this host); ours = one TPU v5e chip. Times "
+        "include compile (ours pays XLA compile inside trial 0).",
         "",
         "| M | stack | final acc (mean±sd) | final NESS | time to target "
         "(per trial, s) | mean s/trial | speedup |",
@@ -278,13 +297,17 @@ def report(ceiling):
             f"| {M} | s/outer-step | ours {so:.3f} vs ref {sr:.2f} "
             f"(**{sr / so:.0f}×**) | | | | |"
         )
+    if dataset != "digits28":
+        lines += [
+            "",
+            "**NESS:** both stacks sit at 0.100 = 1/S for the whole run — "
+            "the importance-weighted correction is degenerate at this scale "
+            "on BOTH stacks (N·f(v) log-weight spreads are huge), resolving "
+            "the round-1 question: our IW path faithfully reproduces "
+            "reference behavior; this is a property of the method at MNIST "
+            "scale, not a bug.",
+        ]
     lines += [
-        "",
-        "**NESS:** both stacks sit at 0.100 = 1/S for the whole run — the "
-        "importance-weighted correction is degenerate at this scale on BOTH "
-        "stacks (N·f(v) log-weight spreads are huge), resolving the round-1 "
-        "question: our IW path faithfully reproduces reference behavior; "
-        "this is a property of the method at MNIST scale, not a bug.",
         "",
         "**Measurement notes.** (1) The reference numbers were measured "
         "while the 2-core host also carried light development load; treat "
@@ -292,17 +315,17 @@ def report(ceiling):
         "full ×2 de-rating. (2) Ours includes eval + host dispatch over an "
         "experimental TPU tunnel (~30 ms RTT per dispatch) and trial 0 "
         "pays any XLA compile-cache miss inside its curve. (3) Both stacks "
-        "show the same late-run accuracy drift off the ~0.87 peak (the "
+        "show the same late-run accuracy drift off the peak (the "
         "outer objective is not test accuracy); time-to-target uses the "
         "reference's mean FINAL accuracy − 0.5 % as the criterion "
-        "(BASELINE.md). (4) On a v5e-8, the 3 trials run on separate chips "
+        "(BASELINE.md). (4) On a v5e-8, the trials run on separate chips "
         "via the trial mesh axis, so multi-trial wall-clock ≈ the slowest "
         "single trial.",
         "",
     ]
     text = "\n".join(lines)
     print(text)
-    with open(f"{OUT_DIR}/wallclock_summary.json", "w") as f:
+    with open(f"{OUT_DIR}/wallclock_summary{suffix}.json", "w") as f:
         json.dump(summary, f, indent=1)
 
     # splice the section into RESULTS.md (replace a previous version)
@@ -331,26 +354,30 @@ def main():
     ap.add_argument("--epochs", type=int, default=None,
                     help="override num_epochs (smoke runs)")
     ap.add_argument("--report", action="store_true")
+    ap.add_argument("--dataset", choices=["synth_mnist_hard", "digits28"],
+                    default="synth_mnist_hard")
     args = ap.parse_args()
     if args.epochs:
         CFG["num_epochs"] = args.epochs
+    suffix = "" if args.dataset == "synth_mnist_hard" else f"_{args.dataset}"
 
     os.makedirs(OUT_DIR, exist_ok=True)
-    data, ceiling = build_data()
-    print(f"bayes ceiling: {ceiling:.4f}", flush=True)
+    data, ceiling = build_data(args.dataset)
+    if ceiling is not None:
+        print(f"bayes ceiling: {ceiling:.4f}", flush=True)
 
     if args.report:
-        report(ceiling)
+        report(ceiling, args.dataset, suffix)
         return
     if args.stack == "ours":
         res = run_ours(data, args.sizes, args.trials)
     elif args.stack == "ref":
-        res = run_ref(data, args.sizes, args.trials)
+        res = run_ref(data, args.sizes, args.trials, args.dataset, suffix)
     else:
         raise SystemExit("pass --stack ours|ref or --report")
-    with open(f"{OUT_DIR}/wallclock_{args.stack}.json", "w") as f:
+    with open(f"{OUT_DIR}/wallclock_{args.stack}{suffix}.json", "w") as f:
         json.dump(res, f)
-    print(f"wrote {OUT_DIR}/wallclock_{args.stack}.json")
+    print(f"wrote {OUT_DIR}/wallclock_{args.stack}{suffix}.json")
 
 
 if __name__ == "__main__":

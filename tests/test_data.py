@@ -93,3 +93,40 @@ def test_synth_mnist_hard_shapes_and_ceiling():
     # label noise really present: some train labels differ from the
     # nearest-template MAP assignment even at zero pixel noise distance
     assert ceiling < 1.0
+
+
+def test_real_sklearn_datasets():
+    """digits / digits28 / breast_cancer are REAL data bundled with
+    scikit-learn — shapes, standardization, class coverage, determinism."""
+    d = read_dataset("digits")
+    assert d.x.shape[1] == 64 and d.nc == 10 and d.channels == 0
+    assert d.x.shape[0] + d.xt.shape[0] == 1797
+    assert set(np.unique(d.y)) == set(range(10))
+    np.testing.assert_allclose(d.x.mean(), 0.0, atol=5e-2)
+
+    d28 = read_dataset("digits28")
+    assert d28.x.shape[1:] == (1, 28, 28) and d28.channels == 1
+    # same seeded shuffle: labels line up between the two variants
+    np.testing.assert_array_equal(d.y, d28.y)
+    # upsampling is label-preserving and deterministic
+    d28b = read_dataset("digits28")
+    np.testing.assert_array_equal(d28.x[:8], d28b.x[:8])
+
+    bc = read_dataset("breast_cancer")
+    assert bc.x.shape[1] == 30 and bc.nc == 2
+    assert bc.x.shape[0] + bc.xt.shape[0] == 569
+    # train-statistic standardization
+    np.testing.assert_allclose(bc.x.mean(0), 0.0, atol=1e-5)
+    np.testing.assert_allclose(bc.x.std(0), 1.0, atol=1e-4)
+    assert set(np.unique(bc.yt)) == {0.0, 1.0}
+
+
+def test_real_diabetes_regression():
+    """UCI diabetes via sklearn: real regression bundle with a tau grid."""
+    d = read_regression_dataset("diabetes", seed=0, num_test=100)
+    assert d.x.shape[1] == 10 and d.nc == 1
+    assert d.xt.shape[0] == 100 and d.xv is not None
+    np.testing.assert_allclose(d.x.mean(0), 0.0, atol=1e-6)
+    np.testing.assert_allclose(d.y.std(), 1.0, atol=1e-6)
+    assert d.taus == tuple(hyperparams_for_regression()["diabetes"])
+    assert 70.0 < d.y_std < 90.0  # raw-target scale preserved for de-norm eval
