@@ -274,6 +274,15 @@ def build_parser() -> argparse.ArgumentParser:
                    help="dense-layer compute backend: 'pallas' uses the "
                         "fused sample+matmul+NKL TPU kernel "
                         "(ops/pallas_vi.py) for mean-field dense layers")
+    p.add_argument("--fused_inner", action=argparse.BooleanOptionalAction,
+                   default=None,
+                   help="bilevel megakernel: run the nested trainer's inner "
+                        "unroll + outer IW-ELBO + hypergradients as ONE "
+                        "Pallas kernel on the logreg family "
+                        "(ops/fused_nested.py). Default: auto (on-TPU when "
+                        "the configuration is supported); --fused_inner "
+                        "forces it (errors if unsupported), "
+                        "--no-fused_inner disables")
     p.add_argument("--distributed", action="store_true", default=False,
                    help="initialize JAX multi-controller mode before any "
                         "device query (multi-host meshes; coordinator from "

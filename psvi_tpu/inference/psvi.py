@@ -143,6 +143,14 @@ class PSVI:
         # nested needs double-backward through the layer and hyper's AID
         # solvers need jvp through it, neither of which custom_vjp provides.
         backend: str = "xla",
+        # fused bilevel megakernel for the nested trainer on the logreg
+        # family (single mean-field VILinear net): the ENTIRE nested step
+        # — T inner Adam iterations + outer IW-ELBO + its gradients
+        # through the unroll — runs as ONE Pallas kernel
+        # (ops/fused_nested.py). 'auto' (default) = use it on TPU when the
+        # configuration is supported; True = require (raises if not);
+        # False = always the plain XLA path.
+        fused_inner="auto",
         packed: Optional[bool] = None,
         spec: Optional[MethodSpec] = None,
         mesh=None,
@@ -242,6 +250,7 @@ class PSVI:
                 "it — the fused kernel's custom_vjp provides neither"
             )
         self.backend = backend
+        self.fused_inner = fused_inner
         self.packed = packed
         self.mfvi_selection_method = mfvi_selection_method
         self.pretrain_epochs = pretrain_epochs
@@ -751,6 +760,97 @@ class PSVI:
         )
         return state, {"outer_loss": loss, "inner_losses": inner_losses}
 
+    # -- fused bilevel megakernel path (ops/fused_nested.py) ------------
+
+    def _use_fused_inner(self) -> bool:
+        from psvi_tpu.ops import fused_nested as FN
+
+        if self.fused_inner is False:
+            return False
+        # CLI default (None) means 'auto'
+        if self.fused_inner is None:
+            self.fused_inner = "auto"
+        ok = FN.supports(self)
+        if self.fused_inner is True:
+            if not ok:
+                raise ValueError(
+                    "fused_inner=True requires the logreg-family nested "
+                    "configuration (single mean-field VILinear net, "
+                    "categorical likelihood, plain nested trainer, inner "
+                    "Adam, f32, no eps/batch sharding)"
+                )
+            return True
+        # 'auto': only where it wins — the Mosaic kernel exists to beat
+        # per-op dispatch latency on a real TPU
+        return ok and jax.default_backend() == "tpu"
+
+    def _fused_cfg(self, B: int):
+        from psvi_tpu.ops.fused_nested import FusedCfg
+
+        layer = self.net.layers[0]
+        return FusedCfg(
+            T=self.inner_it, S=self.mc_samples, nc=self.nc, D=self.D,
+            M=self.num_pseudo, B=B, N=float(self.N),
+            parameterised=self.spec.parameterised,
+            use_alpha=self.spec.learn_alpha or self.spec.alpha_fixed,
+            use_bias=layer.use_bias, prior_sd=float(layer.prior_sd),
+        )
+
+    def _nested_step_fused(self, state: PSVIState, key, batch=None):
+        """The nested step with the bilevel core executed as ONE Pallas
+        kernel. Key-folding and update order are identical to
+        ``_nested_step`` (same eps streams → statistically identical
+        trajectories; only float reassociation differs)."""
+        from psvi_tpu.ops.fused_nested import fused_nested_outer
+
+        k_batch, k_inner, k_outer = jax.random.split(key, 3)
+        xb, yb = self._get_batch(k_batch, batch)
+        lr_now = self.lr_net_sched(state.net_step)
+        T, S, nc, D = self.inner_it, self.mc_samples, self.nc, self.D
+        M, B = self.num_pseudo, xb.shape[0]
+
+        # same per-iteration eps stream as _run_inner (split + sample_eps),
+        # rearranged CLASS-MAJOR (rows c*S+s) for the rank-2 kernel layout
+        keys = jax.random.split(k_inner, max(T, 1))
+        eps_ts = jax.vmap(lambda k: self.net.sample_eps(k, S))(keys[:T])
+        ew, ebias = eps_ts[0]["w"], eps_ts[0]["b"]  # (T,S,nc,D), (T,S,nc)
+        eps_wi = jnp.transpose(ew, (0, 2, 1, 3)).reshape(T * nc * S, D)
+        eps_bi = jnp.transpose(ebias, (0, 2, 1)).reshape(T * nc * S, 1)
+        eo = self.net.sample_eps(k_outer, S)[0]
+        eps_wo = jnp.transpose(eo["w"], (1, 0, 2)).reshape(nc * S, D)
+        eps_bo = jnp.transpose(eo["b"], (1, 0)).reshape(nc * S, 1)
+
+        p0 = state.params[0]
+        ypse = jax.nn.one_hot(state.z.astype(jnp.int32), nc).T
+        ybat = jax.nn.one_hot(yb.astype(jnp.int32), nc).T
+        backend = "pallas" if jax.default_backend() == "tpu" else "xla"
+        loss, inner_losses, pT, g_u, g_v, g_alpha = fused_nested_outer(
+            p0["mu_w"], p0["rho_w"],
+            p0["mu_b"].reshape(nc, 1), p0["rho_b"].reshape(nc, 1),
+            state.u, state.v.reshape(1, M), state.alpha.reshape(1, 1),
+            ypse, ybat, eps_wi, eps_bi, eps_wo, eps_bo, xb,
+            jnp.asarray(lr_now, jnp.float32).reshape(1, 1),
+            self._fused_cfg(B), backend=backend,
+        )
+
+        grads = {}
+        if self.spec.learn_u and not self.spec.evaluate_only:
+            grads["u"] = g_u
+        if self.spec.learn_v:
+            grads["v"] = g_v.reshape(M)
+        if self.spec.learn_alpha:
+            grads["alpha"] = g_alpha.reshape(1)
+        state = self._apply_hyper_updates(state, grads)
+
+        params = (
+            {
+                "mu_w": pT[0], "rho_w": pT[1],
+                "mu_b": pT[2].reshape(nc), "rho_b": pT[3].reshape(nc),
+            },
+        )
+        state = state._replace(params=params, net_step=state.net_step + 1)
+        return state, {"outer_loss": loss, "inner_losses": inner_losses}
+
     def _joint_step(self, state: PSVIState, key, batch=None):
         """Single-level step on (net params, u[, v]) (ref ``joint_step``
         :517-525; optimizer built at :876-882 — z and alpha excluded)."""
@@ -936,6 +1036,8 @@ class PSVI:
         }
         if self.spec.evaluate_only:
             return self._nested_step  # PSVIEvaluate: net-only nested (:1909-1934)
+        if self.trainer == "nested" and self._use_fused_inner():
+            return self._nested_step_fused
         return steps[self.trainer]
 
     def _compile(self):
