@@ -784,16 +784,24 @@ class PSVI:
         # per-op dispatch latency on a real TPU
         return ok and jax.default_backend() == "tpu"
 
+    def _fused_dense_idx(self):
+        from psvi_tpu.models.layers import VILinear
+
+        return [
+            i for i, l in enumerate(self.net.layers) if type(l) is VILinear
+        ]
+
     def _fused_cfg(self, B: int):
         from psvi_tpu.ops.fused_nested import FusedCfg
 
-        layer = self.net.layers[0]
+        dense = [self.net.layers[i] for i in self._fused_dense_idx()]
+        widths = tuple([dense[0].in_dim] + [l.out_dim for l in dense])
         return FusedCfg(
-            T=self.inner_it, S=self.mc_samples, nc=self.nc, D=self.D,
+            T=self.inner_it, S=self.mc_samples, widths=widths,
             M=self.num_pseudo, B=B, N=float(self.N),
             parameterised=self.spec.parameterised,
             use_alpha=self.spec.learn_alpha or self.spec.alpha_fixed,
-            use_bias=layer.use_bias, prior_sd=float(layer.prior_sd),
+            prior_sd=float(dense[0].prior_sd),
         )
 
     def _nested_step_fused(self, state: PSVIState, key, batch=None):
@@ -806,31 +814,72 @@ class PSVI:
         k_batch, k_inner, k_outer = jax.random.split(key, 3)
         xb, yb = self._get_batch(k_batch, batch)
         lr_now = self.lr_net_sched(state.net_step)
-        T, S, nc, D = self.inner_it, self.mc_samples, self.nc, self.D
+        T, S, nc = self.inner_it, self.mc_samples, self.nc
         M, B = self.num_pseudo, xb.shape[0]
+        didx = self._fused_dense_idx()
+        L = len(didx)
+        cfg = self._fused_cfg(B)
+        widths = cfg.widths
 
-        # same per-iteration eps stream as _run_inner (split + sample_eps),
-        # rearranged CLASS-MAJOR (rows c*S+s) for the rank-2 kernel layout
+        # same per-iteration eps stream as _run_inner (split + sample_eps).
+        # Layouts for the rank-2 kernel: hidden layers SAMPLE-MAJOR
+        # (rows s·out+o = plain reshape), last layer CLASS-MAJOR
+        # (rows c·S+s = transpose first).
+        def flat_w(e, lyr, lead=()):
+            out, inn = widths[lyr + 1], widths[lyr]
+            n = int(np.prod(lead, dtype=int)) if lead else 1
+            if lyr == L - 1:
+                perm = tuple(range(len(lead))) + (
+                    len(lead) + 1, len(lead), len(lead) + 2,
+                )
+                e = jnp.transpose(e, perm)
+            return e.reshape(n * S * out, inn)
+
+        def flat_b(e, lyr, lead=()):
+            out = widths[lyr + 1]
+            n = int(np.prod(lead, dtype=int)) if lead else 1
+            if lyr == L - 1:
+                perm = tuple(range(len(lead))) + (
+                    len(lead) + 1, len(lead),
+                )
+                e = jnp.transpose(e, perm)
+            return e.reshape(n * S * out, 1)
+
         keys = jax.random.split(k_inner, max(T, 1))
         eps_ts = jax.vmap(lambda k: self.net.sample_eps(k, S))(keys[:T])
-        ew, ebias = eps_ts[0]["w"], eps_ts[0]["b"]  # (T,S,nc,D), (T,S,nc)
-        eps_wi = jnp.transpose(ew, (0, 2, 1, 3)).reshape(T * nc * S, D)
-        eps_bi = jnp.transpose(ebias, (0, 2, 1)).reshape(T * nc * S, 1)
-        eo = self.net.sample_eps(k_outer, S)[0]
-        eps_wo = jnp.transpose(eo["w"], (1, 0, 2)).reshape(nc * S, D)
-        eps_bo = jnp.transpose(eo["b"], (1, 0)).reshape(nc * S, 1)
+        eps_wi = tuple(
+            flat_w(eps_ts[i]["w"], lyr, lead=(T,))
+            for lyr, i in enumerate(didx)
+        )
+        eps_bi = tuple(
+            flat_b(eps_ts[i]["b"], lyr, lead=(T,))
+            for lyr, i in enumerate(didx)
+        )
+        eo = self.net.sample_eps(k_outer, S)
+        eps_wo = tuple(
+            flat_w(eo[i]["w"], lyr) for lyr, i in enumerate(didx)
+        )
+        eps_bo = tuple(
+            flat_b(eo[i]["b"], lyr) for lyr, i in enumerate(didx)
+        )
 
-        p0 = state.params[0]
+        params0 = []
+        for lyr, i in enumerate(didx):
+            p = state.params[i]
+            out = widths[lyr + 1]
+            params0 += [
+                p["mu_w"], p["rho_w"],
+                p["mu_b"].reshape(out, 1), p["rho_b"].reshape(out, 1),
+            ]
         ypse = jax.nn.one_hot(state.z.astype(jnp.int32), nc).T
         ybat = jax.nn.one_hot(yb.astype(jnp.int32), nc).T
         backend = "pallas" if jax.default_backend() == "tpu" else "xla"
         loss, inner_losses, pT, g_u, g_v, g_alpha = fused_nested_outer(
-            p0["mu_w"], p0["rho_w"],
-            p0["mu_b"].reshape(nc, 1), p0["rho_b"].reshape(nc, 1),
+            tuple(params0),
             state.u, state.v.reshape(1, M), state.alpha.reshape(1, 1),
             ypse, ybat, eps_wi, eps_bi, eps_wo, eps_bo, xb,
             jnp.asarray(lr_now, jnp.float32).reshape(1, 1),
-            self._fused_cfg(B), backend=backend,
+            cfg, backend=backend,
         )
 
         grads = {}
@@ -842,13 +891,17 @@ class PSVI:
             grads["alpha"] = g_alpha.reshape(1)
         state = self._apply_hyper_updates(state, grads)
 
-        params = (
-            {
-                "mu_w": pT[0], "rho_w": pT[1],
-                "mu_b": pT[2].reshape(nc), "rho_b": pT[3].reshape(nc),
-            },
+        params = list(state.params)
+        for lyr, i in enumerate(didx):
+            out = widths[lyr + 1]
+            params[i] = {
+                "mu_w": pT[4 * lyr], "rho_w": pT[4 * lyr + 1],
+                "mu_b": pT[4 * lyr + 2].reshape(out),
+                "rho_b": pT[4 * lyr + 3].reshape(out),
+            }
+        state = state._replace(
+            params=tuple(params), net_step=state.net_step + 1
         )
-        state = state._replace(params=params, net_step=state.net_step + 1)
         return state, {"outer_loss": loss, "inner_losses": inner_losses}
 
     def _joint_step(self, state: PSVIState, key, batch=None):

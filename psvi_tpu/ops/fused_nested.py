@@ -1,20 +1,19 @@
-"""Fused bilevel nested step for single-dense-layer PSVI (Pallas megakernel).
+"""Fused bilevel nested step for the mean-field dense family (Pallas megakernel).
 
-The flagship *logreg-family* nested step (halfmoon / four_blobs /
-synth_lr_*: one variational dense layer, categorical likelihood) is
-per-op-latency bound on TPU: XLA schedules ~200 tiny HLO ops per outer
-step (10-30 µs matmuls, elementwise chains, Adam updates) and the chip
-spends most of the step in per-op launch overhead, not compute
-(BENCHMARKS.md "step anatomy"; measured 517 µs/step for halfmoon M=30
-S=10 inner_it=10 on v5e-1).
+The logreg/MLP-family nested step (halfmoon / four_blobs / synth_lr_* on
+``logistic_regression`` or ``fn`` nets) is per-op-latency bound on TPU:
+XLA schedules ~200+ tiny HLO ops per outer step (10-30 µs matmuls,
+elementwise chains, Adam updates) and the chip spends most of the step in
+per-op launch overhead, not compute (BENCHMARKS.md "step anatomy";
+measured 517 µs/step for halfmoon logreg M=30 S=10 inner_it=10 on v5e-1).
 
 This module collapses the ENTIRE nested step — T differentiable inner
 Adam iterations on the inner ELBO, the outer IW-ELBO, and its gradients
 w.r.t. the pseudodata (u, v, alpha) THROUGH the unroll (second-order) —
 into ONE Pallas kernel. Every tensor involved is tiny (M, B ≤ a few
-hundred rows; D, nc ≤ a few hundred), so the whole 20-iteration bilevel
-program lives in VMEM and Mosaic compiles it as a single fused loop
-nest with zero inter-op overhead.
+hundred rows; layer widths ≤ a few hundred), so the whole bilevel
+program lives in VMEM and Mosaic compiles it as a single fused loop nest
+with zero inter-op overhead.
 
 Reference semantics reproduced (identical math to the XLA engine path):
 
@@ -32,6 +31,17 @@ The derivative work is NOT hand-derived: the kernel body calls
 XLA fallback — tracing happens at kernel-build time, so Mosaic receives
 the full forward+reverse DAG (including the second-order terms through
 the inner gradients) as one kernel.
+
+Mosaic layout strategy (it rejects the natural rank-3 ``(S, nc, P)``
+forms with "unsupported shape cast" / invalid-relayout errors): every
+tensor is rank-2.
+
+- Hidden-layer sampled weights are SAMPLE-MAJOR ``(S·out, in)`` (row
+  s·out+o); the S per-sample matmuls run as one block-diagonal matmul
+  ``(S·out, S·in) @ (S·in, P)`` with an iota-built 0/1 mask.
+- The final layer is CLASS-MAJOR ``(nc·S, h)`` (row c·S+s), so the
+  per-class softmax/NLL arithmetic uses static contiguous row slices.
+- Segment reductions (per-sample NKL sums) are 0/1 selection matmuls.
 
 Use: the PSVI engine dispatches here automatically when
 ``fused_inner='auto'`` (the default) and the configuration is supported
@@ -68,18 +78,28 @@ class FusedCfg:
 
     T: int  # inner iterations
     S: int  # MC samples
-    nc: int  # classes (dense layer out_dim)
-    D: int  # features (dense layer in_dim)
+    widths: Tuple[int, ...]  # dense stack (D, h, ..., nc); ReLU between
     M: int  # coreset size
     B: int  # outer minibatch rows
     N: float  # dataset-size rescaler (engine self.N)
     parameterised: bool  # f(v) = softmax(v) (PSVILearnV family)
     use_alpha: bool  # f(v) *= exp(alpha) (PSVIAV / alpha_fixed)
-    use_bias: bool
     prior_sd: float
     b1: float = 0.9  # inner Adam hyperparameters (torch defaults)
     b2: float = 0.999
     adam_eps: float = 1e-8
+
+    @property
+    def L(self):  # number of dense layers
+        return len(self.widths) - 1
+
+    @property
+    def D(self):
+        return self.widths[0]
+
+    @property
+    def nc(self):
+        return self.widths[-1]
 
 
 def _softplus(x):
@@ -90,47 +110,33 @@ def _gauss_logpdf(x, mu, sd):
     return -0.5 * jnp.square((x - mu) / sd) - jnp.log(sd) - _HALF_LOG_2PI
 
 
-def _nested_core(
-    mu_w, rho_w, mu_b, rho_b,  # params0: (nc,D), (nc,D), (nc,1), (nc,1)
-    u, v, alpha,  # (M,D), (1,M), (1,1)
-    ypse, ybat,  # one-hot labels TRANSPOSED: (nc,M), (nc,B)
-    eps_wi, eps_bi,  # inner noise, CLASS-MAJOR rows c*S+s: (T*nc*S, D), (T*nc*S, 1)
-    eps_wo, eps_bo,  # outer noise: (nc*S, D), (nc*S, 1)
-    xb,  # (B, D)
-    lr_s,  # scalar current inner lr (StepLR schedule value)
-    cfg: FusedCfg,
-):
+def _nested_core(params0, u, v, alpha, ypse, ybat, eps_wi, eps_bi,
+                 eps_wo, eps_bo, xb, lr_s, cfg: FusedCfg):
     """The entire nested outer computation as one pure-jnp function.
 
-    Returns ``(loss, (paramsT..., inner_losses tuple), (g_u, g_v, g_alpha))``.
-    Runs identically under XLA (fallback / tests) and inside the Pallas
-    kernel (where Mosaic fuses the whole DAG).
+    params0: flat tuple (mu_w0, rho_w0, mu_b0, rho_b0, mu_w1, ...) with
+    weights (out, in) and biases (out, 1).
+    eps_wi/eps_bi: per-layer lists; leaf l is (T·R_l, in_l) / (T·R_l, 1)
+    where R_l = S·out_l, laid out sample-major for hidden layers and
+    class-major for the last (see module docstring). eps_wo/eps_bo: same
+    per-layer layout for the single outer draw, (R_l, ·).
+    ypse/ybat: one-hot labels TRANSPOSED (nc, M) / (nc, B); u (M, D);
+    v (1, M); alpha (1, 1); xb (B, D); lr_s scalar.
 
-    Layout note (Mosaic constraints): every tensor is rank-2 and all
-    per-class arithmetic uses static contiguous row slices of CLASS-MAJOR
-    ``(nc*S, ·)`` arrays (row c*S+s = sample s of class-c parameters).
-    Mosaic rejects the natural rank-3 ``(S, nc, P)`` forms ("unsupported
-    shape cast" / invalid relayouts), and this formulation needs none.
+    Returns ``(loss, (paramsT_flat, inner_losses tuple),
+    (g_u, g_v, g_alpha))``. Runs identically under XLA (fallback /
+    tests) and inside the Pallas kernel.
     """
-    T, S, nc, D = cfg.T, cfg.S, cfg.nc, cfg.D
-    M, B = cfg.M, cfg.B
-    R = nc * S  # sampled-weight rows
+    T, S, L = cfg.T, cfg.S, cfg.L
+    M, B, nc = cfg.M, cfg.B, cfg.nc
+    widths = cfg.widths
 
-    def core_weights(v_, alpha_):
-        # N·f(v) (ref psvi_classes.py:111,1358-1360,1486-1488); engine
-        # _core_weights equivalent. v_ (1,M) → (1,M).
-        if cfg.parameterised:
-            mx = jnp.max(v_, axis=1, keepdims=True)
-            e = jnp.exp(v_ - mx)
-            fv = e / jnp.sum(e, axis=1, keepdims=True)
-        else:
-            fv = v_
-        if cfg.use_alpha:
-            fv = jnp.exp(alpha_[0, 0]) * fv
-        return cfg.N * fv
+    def rep_sample_major(x):
+        # (out, K) → (S·out, K): row s·out+o = x[o] (tile S times)
+        return jnp.concatenate([x] * S, axis=0) if S > 1 else x
 
-    def rep_rows(x):
-        # (nc, K) → (nc*S, K): row c*S+s = x[c] (class-major replication)
+    def rep_class_major(x):
+        # (nc, K) → (nc·S, K): row c·S+s = x[c]
         if S == 1:
             return x
         return jnp.concatenate(
@@ -138,31 +144,69 @@ def _nested_core(
             axis=0,
         )
 
-    def fold_rows(x):
-        # (nc*S, K) → (S, K): sum the nc class blocks (Σ_c x[c*S+s])
+    def rep_l(lyr, x):
+        return rep_class_major(x) if lyr == L - 1 else rep_sample_major(x)
+
+    def fold_sample_major(x, out):
+        # (S·out, 1) → (S, 1): sum rows s·out+o over o, via 0/1 matmul
+        rows = jax.lax.broadcasted_iota(jnp.int32, (S, S * out), 0)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (S, S * out), 1)
+        sel = (cols // out == rows).astype(jnp.float32)
+        return jax.lax.dot_general(
+            sel, x, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    def fold_class_major(x):
+        # (nc·S, 1) → (S, 1): sum the nc contiguous class blocks
         out = jax.lax.slice_in_dim(x, 0, S, axis=0)
         for c in range(1, nc):
             out = out + jax.lax.slice_in_dim(x, c * S, (c + 1) * S, axis=0)
         return out
 
-    def sampled_theta(p, eps_w, eps_b):
-        # eps_w (nc*S, D); eps_b (nc*S, 1)
-        mw, rw, mb, rb = p
-        W = rep_rows(mw) + rep_rows(_softplus(rw)) * eps_w  # (nc*S, D)
-        if cfg.use_bias:
-            b = rep_rows(mb) + rep_rows(_softplus(rb)) * eps_b  # (nc*S, 1)
-        else:
-            b = None
-        return W, b
+    def fold_l(lyr, x):
+        if lyr == L - 1:
+            return fold_class_major(x)
+        return fold_sample_major(x, widths[lyr + 1])
 
-    def forward_nll(W, b, X, Yt, P):
-        # W (nc*S, D), b (nc*S, 1) | X (P, D), Yt (nc, P) → nll (S, P)
-        Z = jax.lax.dot_general(
-            W, X, dimension_numbers=(((1,), (1,)), ((), ())),
+    def blockdiag(W, lyr):
+        # Sampled flat W → (R_out, S·in) block-diagonal operator so the S
+        # per-sample matmuls run as ONE matmul against the sample-major
+        # (S·in, P) activations.
+        out, inn = widths[lyr + 1], widths[lyr]
+        Wt = jnp.concatenate([W] * S, axis=1) if S > 1 else W
+        rows = jax.lax.broadcasted_iota(jnp.int32, (W.shape[0], S * inn), 0)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (W.shape[0], S * inn), 1)
+        if lyr == L - 1:  # class-major rows c·S+s
+            mask = (cols // inn == rows % S)
+        else:  # sample-major rows s·out+o
+            mask = (cols // inn == rows // out)
+        return Wt * mask.astype(jnp.float32)
+
+    def sampled_theta(p, ew, eb):
+        # per layer: W_l = rep(μ) + rep(softplus(ρ))·ε  (flat layout)
+        Ws, bs = [], []
+        for lyr in range(L):
+            mw, rw, mb, rb = p[4 * lyr : 4 * lyr + 4]
+            Ws.append(rep_l(lyr, mw) + rep_l(lyr, _softplus(rw)) * ew[lyr])
+            bs.append(rep_l(lyr, mb) + rep_l(lyr, _softplus(rb)) * eb[lyr])
+        return Ws, bs
+
+    def forward_nll(Ws, bs, X, Yt, P):
+        # X (P, D) shared across samples; first layer is a plain matmul,
+        # deeper layers are block-diagonal matmuls; ReLU between layers.
+        A = jax.lax.dot_general(
+            Ws[0], X, dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )  # (nc*S, P)
-        if b is not None:
-            Z = Z + b
+        ) + bs[0]  # (R_0, P)
+        for lyr in range(1, L):
+            A = jnp.maximum(A, 0.0)
+            A = jax.lax.dot_general(
+                blockdiag(Ws[lyr], lyr), A,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) + bs[lyr]
+        Z = A  # (nc·S, P) class-major
         Zc = [
             jax.lax.slice_in_dim(Z, c * S, (c + 1) * S, axis=0)
             for c in range(nc)
@@ -176,14 +220,11 @@ def _nested_core(
         lse = mx + jnp.log(sumexp)  # (S, P)
         picked = Zc[0] * jax.lax.slice_in_dim(Yt, 0, 1, axis=0)
         for c in range(1, nc):
-            picked = picked + Zc[c] * jax.lax.slice_in_dim(
-                Yt, c, c + 1, axis=0
-            )
+            picked = picked + Zc[c] * jax.lax.slice_in_dim(Yt, c, c + 1, axis=0)
         return lse - picked  # (S, P)
 
     def kl_term(p):
-        # analytic KL(q‖p) of the dense layer (ref neural_net.py:101-108)
-        mw, rw, mb, rb = p
+        # analytic KL(q‖p) over all dense layers (ref neural_net.py:101-108)
         sp = cfg.prior_sd
 
         def kl_leaf(mu, rho):
@@ -194,46 +235,67 @@ def _nested_core(
                 - 0.5
             )
 
-        out = kl_leaf(mw, rw)
-        if cfg.use_bias:
-            out = out + kl_leaf(mb, rb)
+        out = kl_leaf(p[0], p[1]) + kl_leaf(p[2], p[3])
+        for lyr in range(1, L):
+            mw, rw, mb, rb = p[4 * lyr : 4 * lyr + 4]
+            out = out + kl_leaf(mw, rw) + kl_leaf(mb, rb)
         return out
 
-    def sampled_nkl(p, W, b):
+    def sampled_nkl(p, Ws, bs):
         # per-sample log p(θ_s) − log q(θ_s) (ref neural_net.py:110-115)
-        mw, rw, mb, rb = p
         sp = cfg.prior_sd
-        lw = _gauss_logpdf(W, 0.0, sp) - _gauss_logpdf(
-            W, rep_rows(mw), rep_rows(_softplus(rw))
-        )  # (nc*S, D)
-        out = fold_rows(jnp.sum(lw, axis=1, keepdims=True))  # (S, 1)
-        if cfg.use_bias:
-            lb = _gauss_logpdf(b, 0.0, sp) - _gauss_logpdf(
-                b, rep_rows(mb), rep_rows(_softplus(rb))
-            )  # (nc*S, 1)
-            out = out + fold_rows(lb)
+        out = jnp.zeros((S, 1), jnp.float32)
+        for lyr in range(L):
+            mw, rw, mb, rb = p[4 * lyr : 4 * lyr + 4]
+            lw = _gauss_logpdf(Ws[lyr], 0.0, sp) - _gauss_logpdf(
+                Ws[lyr], rep_l(lyr, mw), rep_l(lyr, _softplus(rw))
+            )
+            out = out + fold_l(lyr, jnp.sum(lw, axis=1, keepdims=True))
+            lb = _gauss_logpdf(bs[lyr], 0.0, sp) - _gauss_logpdf(
+                bs[lyr], rep_l(lyr, mb), rep_l(lyr, _softplus(rb))
+            )
+            out = out + fold_l(lyr, lb)
         return out  # (S, 1)
 
-    def nested(u_, v_, alpha_):
-        cw = core_weights(v_, alpha_)  # (1,M)
+    def slice_t(e, t, R):
+        return jax.lax.slice_in_dim(e, (t - 1) * R, t * R, axis=0)
 
-        def inner_elbo_u(p, eps_w, eps_b):
+    def core_weights(v_, alpha_):
+        # N·f(v) (ref psvi_classes.py:111,1358-1360,1486-1488)
+        if cfg.parameterised:
+            mxv = jnp.max(v_, axis=1, keepdims=True)
+            e = jnp.exp(v_ - mxv)
+            fv = e / jnp.sum(e, axis=1, keepdims=True)
+        else:
+            fv = v_
+        if cfg.use_alpha:
+            fv = jnp.exp(alpha_[0, 0]) * fv
+        return cfg.N * fv
+
+    def nested(u_, v_, alpha_):
+        cw = core_weights(v_, alpha_)  # (1, M)
+
+        def inner_elbo_u(p, ew, eb):
             # ref psvi_classes.py:488-511 (Σ over S, not mean)
-            W, b = sampled_theta(p, eps_w, eps_b)
-            nllu = forward_nll(W, b, u_, ypse, M)  # (S,M)
+            Ws, bs = sampled_theta(p, ew, eb)
+            nllu = forward_nll(Ws, bs, u_, ypse, M)  # (S, M)
             pseudo = jax.lax.dot_general(
                 nllu, cw, dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
-            )  # (S,1)
+            )  # (S, 1)
             return jnp.sum(pseudo) + kl_term(p)
 
-        p = (mu_w, rho_w, mu_b, rho_b)
+        p = tuple(params0)
         m_t = tuple(jnp.zeros_like(x) for x in p)
         n_t = tuple(jnp.zeros_like(x) for x in p)
         inner_losses = []
         for t in range(1, T + 1):
-            ew = jax.lax.slice_in_dim(eps_wi, (t - 1) * R, t * R, axis=0)
-            eb = jax.lax.slice_in_dim(eps_bi, (t - 1) * R, t * R, axis=0)
+            ew = [
+                slice_t(eps_wi[lyr], t, S * widths[lyr + 1]) for lyr in range(L)
+            ]
+            eb = [
+                slice_t(eps_bi[lyr], t, S * widths[lyr + 1]) for lyr in range(L)
+            ]
             loss_t, g = jax.value_and_grad(inner_elbo_u)(p, ew, eb)
             inner_losses.append(loss_t)
             # torch-exact Adam with static bias corrections (fresh state per
@@ -254,62 +316,62 @@ def _nested_core(
 
         # outer negative PSVI-ELBO on (u_, xb) with fresh noise (ref :445-486)
         Wo, bo = sampled_theta(p, eps_wo, eps_bo)
-        nllu = forward_nll(Wo, bo, u_, ypse, M)  # (S,M)
-        nllb = forward_nll(Wo, bo, xb, ybat, B)  # (S,B)
+        nllu = forward_nll(Wo, bo, u_, ypse, M)  # (S, M)
+        nllb = forward_nll(Wo, bo, xb, ybat, B)  # (S, B)
         pseudo = jax.lax.dot_general(
             nllu, cw, dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )  # (S,1)
-        data = (cfg.N / B) * jnp.sum(nllb, axis=1, keepdims=True)  # (S,1)
-        nkl = sampled_nkl(p, Wo, bo)  # (S,1)
-        log_w = -pseudo + nkl  # (S,1)
+        )  # (S, 1)
+        data = (cfg.N / B) * jnp.sum(nllb, axis=1, keepdims=True)  # (S, 1)
+        nkl = sampled_nkl(p, Wo, bo)  # (S, 1)
+        log_w = -pseudo + nkl  # (S, 1)
         mxw = jnp.max(log_w, axis=0, keepdims=True)
         expw = jnp.exp(log_w - mxw)
         wts = expw / jnp.sum(expw, axis=0, keepdims=True)
         loss = jnp.sum(wts * (data - pseudo)) - jnp.mean(log_w)
         return loss, (p, tuple(inner_losses))
 
-    (loss, aux), grads = jax.value_and_grad(nested, argnums=(0, 1, 2), has_aux=True)(
-        u, v, alpha
-    )
+    (loss, aux), grads = jax.value_and_grad(
+        nested, argnums=(0, 1, 2), has_aux=True
+    )(u, v, alpha)
     return loss, aux, grads
 
 
-def _kernel(
-    mu_w_ref, rho_w_ref, mu_b_ref, rho_b_ref,
-    u_ref, v_ref, alpha_ref,
-    ypse_ref, ybat_ref,
-    eps_wi_ref, eps_bi_ref, eps_wo_ref, eps_bo_ref,
-    xb_ref, lr_ref,
-    # outputs
-    loss_ref, losses_ref,
-    mu_wT_ref, rho_wT_ref, mu_bT_ref, rho_bT_ref,
-    gu_ref, gv_ref, galpha_ref,
-    *, cfg: FusedCfg,
-):
+def _kernel(*refs, cfg: FusedCfg):
+    L, T = cfg.L, cfg.T
+    n_in = 4 * L + 5 + 4 * L + 2  # params, u/v/alpha/ypse/ybat, eps, xb/lr
+    ins, outs = refs[:n_in], refs[n_in:]
+    params0 = tuple(r[:] for r in ins[: 4 * L])
+    u, v, alpha, ypse, ybat = (r[:] for r in ins[4 * L : 4 * L + 5])
+    k = 4 * L + 5
+    eps_wi = [ins[k + lyr][:] for lyr in range(L)]
+    eps_bi = [ins[k + L + lyr][:] for lyr in range(L)]
+    eps_wo = [ins[k + 2 * L + lyr][:] for lyr in range(L)]
+    eps_bo = [ins[k + 3 * L + lyr][:] for lyr in range(L)]
+    xb = ins[k + 4 * L][:]
+    lr_s = ins[k + 4 * L + 1][0, 0]
+
     loss, (pT, inner_losses), (g_u, g_v, g_alpha) = _nested_core(
-        mu_w_ref[:], rho_w_ref[:], mu_b_ref[:], rho_b_ref[:],
-        u_ref[:], v_ref[:], alpha_ref[:],
-        ypse_ref[:], ybat_ref[:],
-        eps_wi_ref[:], eps_bi_ref[:], eps_wo_ref[:], eps_bo_ref[:],
-        xb_ref[:], lr_ref[0, 0],
-        cfg,
+        params0, u, v, alpha, ypse, ybat,
+        eps_wi, eps_bi, eps_wo, eps_bo, xb, lr_s, cfg,
     )
+    loss_ref, losses_ref = outs[0], outs[1]
     loss_ref[0, 0] = loss
-    for t in range(cfg.T):
+    for t in range(T):
         losses_ref[0, t] = inner_losses[t]
-    mu_wT_ref[:], rho_wT_ref[:], mu_bT_ref[:], rho_bT_ref[:] = pT
-    gu_ref[:] = g_u
-    gv_ref[:] = g_v
-    galpha_ref[0, 0] = g_alpha[0, 0]
+    for i in range(4 * L):
+        outs[2 + i][:] = pT[i]
+    outs[2 + 4 * L][:] = g_u
+    outs[3 + 4 * L][:] = g_v
+    outs[4 + 4 * L][0, 0] = g_alpha[0, 0]
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "backend", "interpret"))
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "backend", "interpret")
+)
 def fused_nested_outer(
-    mu_w, rho_w, mu_b, rho_b,
-    u, v, alpha,
-    ypse, ybat,
-    eps_wi, eps_bi, eps_wo, eps_bo,
+    params0: tuple, u, v, alpha, ypse, ybat,
+    eps_wi: tuple, eps_bi: tuple, eps_wo: tuple, eps_bo: tuple,
     xb, lr,
     cfg: FusedCfg,
     backend: str = "pallas",
@@ -319,65 +381,97 @@ def fused_nested_outer(
 
     backend='pallas': one Mosaic kernel (TPU). backend='xla': the same
     math as a regular traced function (CPU fallback / numerics oracle).
-    Returns ``(loss, inner_losses (T,), paramsT 4-tuple, g_u, g_v, g_alpha)``.
+    Returns ``(loss, inner_losses (T,), paramsT flat tuple, g_u, g_v,
+    g_alpha)``.
     """
-    args = (
-        mu_w, rho_w, mu_b, rho_b, u, v, alpha, ypse, ybat,
-        eps_wi, eps_bi, eps_wo, eps_bo, xb, lr,
-    )
     if backend == "xla" or not _PALLAS_OK:
         loss, (pT, inner_losses), (g_u, g_v, g_alpha) = _nested_core(
-            *args[:-1], args[-1][0, 0], cfg
+            tuple(params0), u, v, alpha, ypse, ybat,
+            list(eps_wi), list(eps_bi), list(eps_wo), list(eps_bo),
+            xb, lr[0, 0], cfg,
         )
-        return (
-            loss, jnp.stack(inner_losses), pT, g_u, g_v, g_alpha,
-        )
+        return loss, jnp.stack(inner_losses), pT, g_u, g_v, g_alpha
 
-    T, nc, D, M, B = cfg.T, cfg.nc, cfg.D, cfg.M, cfg.B
+    L, T, M = cfg.L, cfg.T, cfg.M
     smem = lambda: pl.BlockSpec(memory_space=pltpu.SMEM)  # noqa: E731
     vmem = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)  # noqa: E731
-    out = pl.pallas_call(
-        functools.partial(_kernel, cfg=cfg),
-        out_shape=(
+    flat_in = (
+        list(params0) + [u, v, alpha, ypse, ybat]
+        + list(eps_wi) + list(eps_bi) + list(eps_wo) + list(eps_bo)
+        + [xb, lr]
+    )
+    out_shape = (
+        [
             jax.ShapeDtypeStruct((1, 1), jnp.float32),  # loss
             jax.ShapeDtypeStruct((1, T), jnp.float32),  # inner losses
-            jax.ShapeDtypeStruct((nc, D), jnp.float32),  # mu_wT
-            jax.ShapeDtypeStruct((nc, D), jnp.float32),  # rho_wT
-            jax.ShapeDtypeStruct((nc, 1), jnp.float32),  # mu_bT
-            jax.ShapeDtypeStruct((nc, 1), jnp.float32),  # rho_bT
-            jax.ShapeDtypeStruct((M, D), jnp.float32),  # g_u
+        ]
+        + [jax.ShapeDtypeStruct(p.shape, jnp.float32) for p in params0]
+        + [
+            jax.ShapeDtypeStruct((M, cfg.D), jnp.float32),  # g_u
             jax.ShapeDtypeStruct((1, M), jnp.float32),  # g_v
             jax.ShapeDtypeStruct((1, 1), jnp.float32),  # g_alpha
-        ),
-        in_specs=[vmem() for _ in range(14)] + [smem()],
-        out_specs=(
-            smem(), smem(), vmem(), vmem(), vmem(), vmem(),
-            vmem(), vmem(), smem(),
+        ]
+    )
+    out = pl.pallas_call(
+        functools.partial(_kernel, cfg=cfg),
+        out_shape=tuple(out_shape),
+        in_specs=[vmem() for _ in range(len(flat_in) - 1)] + [smem()],
+        out_specs=tuple(
+            [smem(), smem()]
+            + [vmem()] * (4 * L)
+            + [vmem(), vmem(), smem()]
         ),
         interpret=interpret,
-    )(*args)
-    loss, inner_losses, mu_wT, rho_wT, mu_bT, rho_bT, g_u, g_v, g_alpha = out
-    return (
-        loss[0, 0], inner_losses[0], (mu_wT, rho_wT, mu_bT, rho_bT),
-        g_u, g_v, g_alpha,
-    )
+    )(*flat_in)
+    loss, inner_losses = out[0], out[1]
+    pT = tuple(out[2 : 2 + 4 * L])
+    g_u, g_v, g_alpha = out[2 + 4 * L], out[3 + 4 * L], out[4 + 4 * L]
+    return loss[0, 0], inner_losses[0], pT, g_u, g_v, g_alpha
+
+
+# conservative VMEM guard for the auto path: all per-iteration live
+# tensors (activations, block-diag operators, eps slices) must fit VMEM
+_MAX_WIDTH_X_S = 2048  # S·width cap (block-diag operator rows/cols)
+_MAX_POINTS = 2048  # M + B cap (activation lanes)
 
 
 def supports(engine) -> bool:
     """True when the engine's nested step can run as the fused kernel:
-    single mean-field VILinear net (logreg family), categorical likelihood
-    with fixed hard labels, plain (non-truncated) nested trainer, inner
-    Adam, f32 compute, no mesh sharding of eps/batch."""
-    from psvi_tpu.models.layers import Sequential, VILinear
+    all-dense mean-field net (VILinear [+ ReLU]) — the logreg and ``fn``
+    families — categorical likelihood with fixed hard labels, plain
+    (non-truncated) nested trainer, inner Adam, f32 compute, no mesh
+    sharding of eps/batch."""
+    from psvi_tpu.models.layers import ReLU, Sequential, VILinear
 
     net = engine.net
+    if not isinstance(net, Sequential):
+        return False
+    dense = [l for l in net.layers if type(l) is VILinear]
+    if not dense or not all(
+        type(l) in (VILinear, ReLU) for l in net.layers
+    ):
+        return False
+    # structure must be VILinear (ReLU VILinear)*
+    expect_dense = True
+    for l in net.layers:
+        if expect_dense != (type(l) is VILinear):
+            return False
+        expect_dense = not expect_dense
+    if type(net.layers[-1]) is not VILinear:
+        return False
+    if not all(
+        l.use_bias and l.compute_dtype == "float32" and l.count_kl
+        for l in dense
+    ):
+        return False
+    widths = [dense[0].in_dim] + [l.out_dim for l in dense]
+    S = engine.mc_samples
+    if max(widths) * S > _MAX_WIDTH_X_S:
+        return False
+    if engine.num_pseudo + engine.data_minibatch > _MAX_POINTS:
+        return False
     return (
-        isinstance(net, Sequential)
-        and len(net.layers) == 1
-        and type(net.layers[0]) is VILinear
-        and net.layers[0].use_bias
-        and net.layers[0].compute_dtype == "float32"
-        and engine.trainer == "nested"
+        engine.trainer == "nested"
         and not engine.truncated
         and engine.inner_optimizer == "adam"
         and engine.likelihood == "categorical"

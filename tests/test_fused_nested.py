@@ -19,11 +19,7 @@ import pytest
 
 from psvi_tpu.data import read_dataset
 from psvi_tpu.inference.psvi import PSVI
-from psvi_tpu.ops.fused_nested import (
-    FusedCfg,
-    fused_nested_outer,
-    supports,
-)
+from psvi_tpu.ops.fused_nested import fused_nested_outer, supports
 
 ENGINE_KW = dict(
     num_pseudo=20, mc_samples=6, architecture="logistic_regression",
@@ -32,48 +28,67 @@ ENGINE_KW = dict(
 )
 
 
-def _class_major_w(e, S, nc, D):
-    return jnp.transpose(e, (1, 0, 2)).reshape(nc * S, D)
-
-
-def _class_major_b(e, S, nc):
-    return jnp.transpose(e, (1, 0)).reshape(nc * S, 1)
-
-
 def _fused_args(eng, key):
     """Build the fused op's inputs from an engine, with the SAME eps
-    streams the engine's ``_nested_step`` would draw from ``key``."""
+    streams the engine's ``_nested_step`` would draw from ``key`` —
+    reusing the engine's own flattening helpers."""
     state = eng.state
     k_batch, k_inner, k_outer = jax.random.split(key, 3)
     xb, yb = eng._sample_batch(k_batch)
     lr_now = eng.lr_net_sched(state.net_step)
-    T, S, nc, D = eng.inner_it, eng.mc_samples, eng.nc, eng.D
-    M, B = eng.num_pseudo, xb.shape[0]
+    T, S, nc = eng.inner_it, eng.mc_samples, eng.nc
+    M = eng.num_pseudo
+    cfg = eng._fused_cfg(xb.shape[0])
+    didx = eng._fused_dense_idx()
+    L = len(didx)
+    widths = cfg.widths
+
+    # replicate _nested_step_fused's flattening (sample-major hidden,
+    # class-major last) without jit
+    def flat_w(e, lyr, lead=()):
+        n = int(np.prod(lead, dtype=int)) if lead else 1
+        if lyr == L - 1:
+            perm = tuple(range(len(lead))) + (
+                len(lead) + 1, len(lead), len(lead) + 2,
+            )
+            e = jnp.transpose(e, perm)
+        return e.reshape(n * S * widths[lyr + 1], widths[lyr])
+
+    def flat_b(e, lyr, lead=()):
+        n = int(np.prod(lead, dtype=int)) if lead else 1
+        if lyr == L - 1:
+            perm = tuple(range(len(lead))) + (len(lead) + 1, len(lead))
+            e = jnp.transpose(e, perm)
+        return e.reshape(n * S * widths[lyr + 1], 1)
+
     keys = jax.random.split(k_inner, max(T, 1))
     eps_ts = [eng.net.sample_eps(k, S) for k in keys[:T]]
-    eps_wi = jnp.concatenate(
-        [_class_major_w(e[0]["w"], S, nc, D) for e in eps_ts], 0
+    eps_wi = tuple(
+        jnp.concatenate([flat_w(e[i]["w"], lyr) for e in eps_ts], 0)
+        for lyr, i in enumerate(didx)
     )
-    eps_bi = jnp.concatenate(
-        [_class_major_b(e[0]["b"], S, nc) for e in eps_ts], 0
+    eps_bi = tuple(
+        jnp.concatenate([flat_b(e[i]["b"], lyr) for e in eps_ts], 0)
+        for lyr, i in enumerate(didx)
     )
     eo = eng.net.sample_eps(k_outer, S)
-    p0 = state.params[0]
-    cfg = FusedCfg(
-        T=T, S=S, nc=nc, D=D, M=M, B=B, N=float(eng.N),
-        parameterised=eng.spec.parameterised,
-        use_alpha=eng.spec.learn_alpha or eng.spec.alpha_fixed,
-        use_bias=True, prior_sd=1.0,
-    )
+    eps_wo = tuple(flat_w(eo[i]["w"], lyr) for lyr, i in enumerate(didx))
+    eps_bo = tuple(flat_b(eo[i]["b"], lyr) for lyr, i in enumerate(didx))
+
+    params0 = []
+    for lyr, i in enumerate(didx):
+        p = state.params[i]
+        out = widths[lyr + 1]
+        params0 += [
+            p["mu_w"], p["rho_w"],
+            p["mu_b"].reshape(out, 1), p["rho_b"].reshape(out, 1),
+        ]
     args = (
-        p0["mu_w"], p0["rho_w"],
-        p0["mu_b"].reshape(nc, 1), p0["rho_b"].reshape(nc, 1),
+        tuple(params0),
         state.u, state.v.reshape(1, M), state.alpha.reshape(1, 1),
         jax.nn.one_hot(state.z.astype(jnp.int32), nc).T,
         jax.nn.one_hot(yb.astype(jnp.int32), nc).T,
-        eps_wi, eps_bi,
-        _class_major_w(eo[0]["w"], S, nc, D),
-        _class_major_b(eo[0]["b"], S, nc),
+        eps_wi, eps_bi, eps_wo, eps_bo,
         xb, jnp.asarray(lr_now, jnp.float32).reshape(1, 1),
     )
     return args, cfg, (k_batch, k_inner, k_outer), (xb, yb)
@@ -108,17 +123,22 @@ def _cos(a, b):
 
 
 @pytest.mark.parametrize(
-    "method,dataset",
+    "method,dataset,arch",
     [
-        ("psvi_learn_v", "halfmoon"),
-        ("psvi", "halfmoon"),
-        ("psvi_alpha_v", "halfmoon"),
-        ("psvi_learn_v", "four_blobs"),  # nc=4: multiclass class loops
+        ("psvi_learn_v", "halfmoon", "logistic_regression"),
+        ("psvi", "halfmoon", "logistic_regression"),
+        ("psvi_alpha_v", "halfmoon", "logistic_regression"),
+        # nc=4 multiclass: exercises the per-class loops
+        ("psvi_learn_v", "four_blobs", "logistic_regression"),
+        # fn BNN (D→40→nc MLP): exercises the block-diagonal hidden layer
+        ("psvi_learn_v", "halfmoon", "fn"),
+        ("psvi_learn_v", "four_blobs", "fn"),
     ],
 )
-def test_fused_core_matches_engine_outer(method, dataset):
+def test_fused_core_matches_engine_outer(method, dataset, arch):
     data = read_dataset(dataset)
-    eng = PSVI(data, method=method, fused_inner=False, **ENGINE_KW)
+    eng = PSVI(data, method=method, fused_inner=False,
+               **{**ENGINE_KW, "architecture": arch})
     assert supports(eng)
     key = jax.random.PRNGKey(3)
     args, cfg, (k_batch, k_inner, k_outer), (xb, yb) = _fused_args(eng, key)
@@ -130,17 +150,22 @@ def test_fused_core_matches_engine_outer(method, dataset):
     )
     assert np.isclose(float(loss), float(ref_loss), rtol=1e-5)
     np.testing.assert_allclose(il, ref_il, rtol=2e-5)
-    np.testing.assert_allclose(pT[0], ref_pT[0]["mu_w"], rtol=2e-4, atol=1e-7)
-    np.testing.assert_allclose(
-        pT[2].ravel(), ref_pT[0]["mu_b"], rtol=2e-4, atol=1e-7
-    )
-    if "u" in ref_grads:
-        assert _cos(g_u, ref_grads["u"]) > 0.9999
+    didx = eng._fused_dense_idx()
+    for lyr, i in enumerate(didx):
         np.testing.assert_allclose(
-            g_u, ref_grads["u"], atol=2e-5 * float(np.abs(ref_grads["u"]).max() + 1)
+            pT[4 * lyr], ref_pT[i]["mu_w"], rtol=2e-4, atol=1e-6
+        )
+        np.testing.assert_allclose(
+            pT[4 * lyr + 2].ravel(), ref_pT[i]["mu_b"], rtol=2e-4, atol=1e-6
+        )
+    if "u" in ref_grads:
+        assert _cos(g_u, ref_grads["u"]) > 0.999
+        np.testing.assert_allclose(
+            g_u, ref_grads["u"],
+            atol=2e-5 * float(1.0 + np.abs(ref_grads["u"]).max()),
         )
     if "v" in ref_grads:
-        assert _cos(g_v, ref_grads["v"]) > 0.9999
+        assert _cos(g_v, ref_grads["v"]) > 0.999
     if "alpha" in ref_grads:
         # α multiplies ALL core weights, so ∂/∂α is a sum of N-scaled
         # terms with heavy cancellation: in f32 BOTH stacks return the
@@ -153,9 +178,11 @@ def test_fused_core_matches_engine_outer(method, dataset):
         )
 
 
-def test_fused_interpret_matches_xla():
+@pytest.mark.parametrize("arch", ["logistic_regression", "fn"])
+def test_fused_interpret_matches_xla(arch):
     data = read_dataset("halfmoon")
-    eng = PSVI(data, method="psvi_learn_v", fused_inner=False, **ENGINE_KW)
+    eng = PSVI(data, method="psvi_learn_v", fused_inner=False,
+               **{**ENGINE_KW, "architecture": arch})
     args, cfg, _, _ = _fused_args(eng, jax.random.PRNGKey(5))
     out_x = fused_nested_outer(*args, cfg, backend="xla")
     out_p = fused_nested_outer(*args, cfg, backend="pallas", interpret=True)
@@ -168,34 +195,39 @@ def test_fused_interpret_matches_xla():
 
 
 @pytest.mark.slow
-def test_engine_fused_trajectory_tracks_plain():
+@pytest.mark.parametrize("arch", ["logistic_regression", "fn"])
+def test_engine_fused_trajectory_tracks_plain(arch):
     data = read_dataset("halfmoon")
-    e1 = PSVI(data, method="psvi_learn_v", fused_inner=False, **ENGINE_KW)
-    e2 = PSVI(data, method="psvi_learn_v", fused_inner=True, **ENGINE_KW)
+    kw = {**ENGINE_KW, "architecture": arch}
+    e1 = PSVI(data, method="psvi_learn_v", fused_inner=False, **kw)
+    e2 = PSVI(data, method="psvi_learn_v", fused_inner=True, **kw)
     key = jax.random.PRNGKey(7)
     s1, l1 = e1._multi_step(e1.state, key, 20)
     s2, l2 = e2._multi_step(e2.state, key, 20)
     np.testing.assert_allclose(s1.u, s2.u, atol=5e-4)
     np.testing.assert_allclose(s1.v, s2.v, atol=5e-4)
+    didx = e1._fused_dense_idx()
     np.testing.assert_allclose(
-        s1.params[0]["mu_w"], s2.params[0]["mu_w"], atol=5e-4
+        s1.params[didx[0]]["mu_w"], s2.params[didx[0]]["mu_w"], atol=5e-4
     )
-    np.testing.assert_allclose(
-        np.asarray(l1), np.asarray(l2), rtol=1e-4
-    )
+    np.testing.assert_allclose(np.asarray(l1), np.asarray(l2), rtol=2e-4)
 
 
 def test_supports_gating():
     data = read_dataset("halfmoon")
-    # fn BNN: multi-layer → unsupported
-    eng = PSVI(data, method="psvi_learn_v", fused_inner=False,
-               **{**ENGINE_KW, "architecture": "fn"})
+    # fn2 (full-covariance layers) → unsupported
+    eng = PSVI(data, method="psvi_alpha_v", fused_inner=False,
+               **{**ENGINE_KW, "architecture": "fn2"})
     assert not supports(eng)
     with pytest.raises(ValueError):
-        PSVI(data, method="psvi_learn_v", fused_inner=True,
-             **{**ENGINE_KW, "architecture": "fn"})._use_fused_inner()
+        PSVI(data, method="psvi_alpha_v", fused_inner=True,
+             **{**ENGINE_KW, "architecture": "fn2"})
     # hyper trainer → unsupported
     eng = PSVI(data, method="psvi_learn_v", trainer="hyper",
+               fused_inner=False, **ENGINE_KW)
+    assert not supports(eng)
+    # learn_z → unsupported
+    eng = PSVI(data, method="psvi_learn_v", learn_z=True,
                fused_inner=False, **ENGINE_KW)
     assert not supports(eng)
     # supported config resolves to the fused step only on TPU under 'auto'
