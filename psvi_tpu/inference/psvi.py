@@ -802,6 +802,8 @@ class PSVI:
             parameterised=self.spec.parameterised,
             use_alpha=self.spec.learn_alpha or self.spec.alpha_fixed,
             prior_sd=float(dense[0].prior_sd),
+            likelihood=self.likelihood, tau=float(self.tau),
+            learn_z=bool(self.spec.learn_z and self.likelihood == "gaussian"),
         )
 
     def _nested_step_fused(self, state: PSVIState, key, batch=None):
@@ -871,10 +873,15 @@ class PSVI:
                 p["mu_w"], p["rho_w"],
                 p["mu_b"].reshape(out, 1), p["rho_b"].reshape(out, 1),
             ]
-        ypse = jax.nn.one_hot(state.z.astype(jnp.int32), nc).T
-        ybat = jax.nn.one_hot(yb.astype(jnp.int32), nc).T
+        if self.likelihood == "gaussian":
+            # regressor family: raw targets as (1, P) rows (ref :2038)
+            ypse = state.z.reshape(1, M)
+            ybat = yb.reshape(1, B)
+        else:
+            ypse = jax.nn.one_hot(state.z.astype(jnp.int32), nc).T
+            ybat = jax.nn.one_hot(yb.astype(jnp.int32), nc).T
         backend = "pallas" if jax.default_backend() == "tpu" else "xla"
-        loss, inner_losses, pT, g_u, g_v, g_alpha = fused_nested_outer(
+        loss, inner_losses, pT, g_u, g_v, g_alpha, g_z = fused_nested_outer(
             tuple(params0),
             state.u, state.v.reshape(1, M), state.alpha.reshape(1, 1),
             ypse, ybat, eps_wi, eps_bi, eps_wo, eps_bo, xb,
@@ -887,6 +894,8 @@ class PSVI:
             grads["u"] = g_u
         if self.spec.learn_v:
             grads["v"] = g_v.reshape(M)
+        if self.spec.learn_z and self.likelihood == "gaussian":
+            grads["z"] = g_z.reshape(M)
         if self.spec.learn_alpha:
             grads["alpha"] = g_alpha.reshape(1)
         state = self._apply_hyper_updates(state, grads)

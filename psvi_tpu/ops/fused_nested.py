@@ -85,6 +85,9 @@ class FusedCfg:
     parameterised: bool  # f(v) = softmax(v) (PSVILearnV family)
     use_alpha: bool  # f(v) *= exp(alpha) (PSVIAV / alpha_fixed)
     prior_sd: float
+    likelihood: str = "categorical"  # 'categorical' | 'gaussian' (regressor)
+    tau: float = 0.1  # Gaussian precision (ref psvi_classes.py:1986)
+    learn_z: bool = False  # Gaussian pseudo-targets optimized (regressors)
     b1: float = 0.9  # inner Adam hyperparameters (torch defaults)
     b2: float = 0.999
     adam_eps: float = 1e-8
@@ -207,6 +210,15 @@ def _nested_core(params0, u, v, alpha, ypse, ybat, eps_wi, eps_bi,
                 preferred_element_type=jnp.float32,
             ) + bs[lyr]
         Z = A  # (nc·S, P) class-major
+        if cfg.likelihood == "gaussian":
+            # nc = 1: Z is (S, P); Yt (1, P) are the raw targets.
+            # ref psvi_classes.py:2038: -Normal(out, 1/sqrt(tau)).log_prob(y)
+            scale = 1.0 / math.sqrt(cfg.tau)
+            return (
+                0.5 * jnp.square((Yt - Z) / scale)
+                + math.log(scale)
+                + _HALF_LOG_2PI
+            )  # (S, P)
         Zc = [
             jax.lax.slice_in_dim(Z, c * S, (c + 1) * S, axis=0)
             for c in range(nc)
@@ -272,13 +284,13 @@ def _nested_core(params0, u, v, alpha, ypse, ybat, eps_wi, eps_bi,
             fv = jnp.exp(alpha_[0, 0]) * fv
         return cfg.N * fv
 
-    def nested(u_, v_, alpha_):
+    def nested(u_, v_, alpha_, ypse_):
         cw = core_weights(v_, alpha_)  # (1, M)
 
         def inner_elbo_u(p, ew, eb):
             # ref psvi_classes.py:488-511 (Σ over S, not mean)
             Ws, bs = sampled_theta(p, ew, eb)
-            nllu = forward_nll(Ws, bs, u_, ypse, M)  # (S, M)
+            nllu = forward_nll(Ws, bs, u_, ypse_, M)  # (S, M)
             pseudo = jax.lax.dot_general(
                 nllu, cw, dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
@@ -316,7 +328,7 @@ def _nested_core(params0, u, v, alpha, ypse, ybat, eps_wi, eps_bi,
 
         # outer negative PSVI-ELBO on (u_, xb) with fresh noise (ref :445-486)
         Wo, bo = sampled_theta(p, eps_wo, eps_bo)
-        nllu = forward_nll(Wo, bo, u_, ypse, M)  # (S, M)
+        nllu = forward_nll(Wo, bo, u_, ypse_, M)  # (S, M)
         nllb = forward_nll(Wo, bo, xb, ybat, B)  # (S, B)
         pseudo = jax.lax.dot_general(
             nllu, cw, dimension_numbers=(((1,), (1,)), ((), ())),
@@ -331,9 +343,17 @@ def _nested_core(params0, u, v, alpha, ypse, ybat, eps_wi, eps_bi,
         loss = jnp.sum(wts * (data - pseudo)) - jnp.mean(log_w)
         return loss, (p, tuple(inner_losses))
 
-    (loss, aux), grads = jax.value_and_grad(
-        nested, argnums=(0, 1, 2), has_aux=True
-    )(u, v, alpha)
+    if cfg.learn_z:
+        # regressor learn_z: the Gaussian pseudo-targets are hyperparams
+        # too (ref PSVI_regressor optimizes z, psvi_classes.py:2176-2178)
+        (loss, aux), grads = jax.value_and_grad(
+            nested, argnums=(0, 1, 2, 3), has_aux=True
+        )(u, v, alpha, ypse)
+    else:
+        (loss, aux), (g_u, g_v, g_alpha) = jax.value_and_grad(
+            nested, argnums=(0, 1, 2), has_aux=True
+        )(u, v, alpha, ypse)
+        grads = (g_u, g_v, g_alpha, jnp.zeros_like(ypse))
     return loss, aux, grads
 
 
@@ -351,7 +371,7 @@ def _kernel(*refs, cfg: FusedCfg):
     xb = ins[k + 4 * L][:]
     lr_s = ins[k + 4 * L + 1][0, 0]
 
-    loss, (pT, inner_losses), (g_u, g_v, g_alpha) = _nested_core(
+    loss, (pT, inner_losses), (g_u, g_v, g_alpha, g_z) = _nested_core(
         params0, u, v, alpha, ypse, ybat,
         eps_wi, eps_bi, eps_wo, eps_bo, xb, lr_s, cfg,
     )
@@ -364,6 +384,7 @@ def _kernel(*refs, cfg: FusedCfg):
     outs[2 + 4 * L][:] = g_u
     outs[3 + 4 * L][:] = g_v
     outs[4 + 4 * L][0, 0] = g_alpha[0, 0]
+    outs[5 + 4 * L][:] = g_z
 
 
 @functools.partial(
@@ -385,12 +406,12 @@ def fused_nested_outer(
     g_alpha)``.
     """
     if backend == "xla" or not _PALLAS_OK:
-        loss, (pT, inner_losses), (g_u, g_v, g_alpha) = _nested_core(
+        loss, (pT, inner_losses), (g_u, g_v, g_alpha, g_z) = _nested_core(
             tuple(params0), u, v, alpha, ypse, ybat,
             list(eps_wi), list(eps_bi), list(eps_wo), list(eps_bo),
             xb, lr[0, 0], cfg,
         )
-        return loss, jnp.stack(inner_losses), pT, g_u, g_v, g_alpha
+        return loss, jnp.stack(inner_losses), pT, g_u, g_v, g_alpha, g_z
 
     L, T, M = cfg.L, cfg.T, cfg.M
     smem = lambda: pl.BlockSpec(memory_space=pltpu.SMEM)  # noqa: E731
@@ -410,6 +431,7 @@ def fused_nested_outer(
             jax.ShapeDtypeStruct((M, cfg.D), jnp.float32),  # g_u
             jax.ShapeDtypeStruct((1, M), jnp.float32),  # g_v
             jax.ShapeDtypeStruct((1, 1), jnp.float32),  # g_alpha
+            jax.ShapeDtypeStruct((cfg.nc, M), jnp.float32),  # g_z
         ]
     )
     out = pl.pallas_call(
@@ -419,14 +441,14 @@ def fused_nested_outer(
         out_specs=tuple(
             [smem(), smem()]
             + [vmem()] * (4 * L)
-            + [vmem(), vmem(), smem()]
+            + [vmem(), vmem(), smem(), vmem()]
         ),
         interpret=interpret,
     )(*flat_in)
     loss, inner_losses = out[0], out[1]
     pT = tuple(out[2 : 2 + 4 * L])
-    g_u, g_v, g_alpha = out[2 + 4 * L], out[3 + 4 * L], out[4 + 4 * L]
-    return loss[0, 0], inner_losses[0], pT, g_u, g_v, g_alpha
+    g_u, g_v, g_alpha, g_z = out[2 + 4 * L :]
+    return loss[0, 0], inner_losses[0], pT, g_u, g_v, g_alpha, g_z
 
 
 # conservative VMEM guard for the auto path: all per-iteration live
@@ -437,10 +459,10 @@ _MAX_POINTS = 2048  # M + B cap (activation lanes)
 
 def supports(engine) -> bool:
     """True when the engine's nested step can run as the fused kernel:
-    all-dense mean-field net (VILinear [+ ReLU]) — the logreg and ``fn``
-    families — categorical likelihood with fixed hard labels, plain
-    (non-truncated) nested trainer, inner Adam, f32 compute, no mesh
-    sharding of eps/batch."""
+    all-dense mean-field net (VILinear [+ ReLU]) — the logreg, ``fn``
+    and regressor families — categorical (fixed hard labels) or Gaussian
+    likelihood, plain (non-truncated) nested trainer, inner Adam, f32
+    compute, no mesh sharding of eps/batch."""
     from psvi_tpu.models.layers import ReLU, Sequential, VILinear
 
     net = engine.net
@@ -474,8 +496,10 @@ def supports(engine) -> bool:
         engine.trainer == "nested"
         and not engine.truncated
         and engine.inner_optimizer == "adam"
-        and engine.likelihood == "categorical"
-        and not engine.spec.learn_z
+        and engine.likelihood in ("categorical", "gaussian")
+        # learn_z with Gaussian targets is a plain hyper-grad on z
+        # (regressors); the categorical KLDiv soft-label path is not fused
+        and not (engine.spec.learn_z and engine.likelihood == "categorical")
         and not engine.spec.ablated
         and not engine.spec.evaluate_only
         and engine.mc_samples >= 2

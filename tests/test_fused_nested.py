@@ -83,11 +83,16 @@ def _fused_args(eng, key):
             p["mu_w"], p["rho_w"],
             p["mu_b"].reshape(out, 1), p["rho_b"].reshape(out, 1),
         ]
+    if eng.likelihood == "gaussian":
+        ypse = state.z.reshape(1, M)
+        ybat = yb.reshape(1, xb.shape[0])
+    else:
+        ypse = jax.nn.one_hot(state.z.astype(jnp.int32), nc).T
+        ybat = jax.nn.one_hot(yb.astype(jnp.int32), nc).T
     args = (
         tuple(params0),
         state.u, state.v.reshape(1, M), state.alpha.reshape(1, 1),
-        jax.nn.one_hot(state.z.astype(jnp.int32), nc).T,
-        jax.nn.one_hot(yb.astype(jnp.int32), nc).T,
+        ypse, ybat,
         eps_wi, eps_bi, eps_wo, eps_bo,
         xb, jnp.asarray(lr_now, jnp.float32).reshape(1, 1),
     )
@@ -142,7 +147,7 @@ def test_fused_core_matches_engine_outer(method, dataset, arch):
     assert supports(eng)
     key = jax.random.PRNGKey(3)
     args, cfg, (k_batch, k_inner, k_outer), (xb, yb) = _fused_args(eng, key)
-    loss, il, pT, g_u, g_v, g_alpha = fused_nested_outer(
+    loss, il, pT, g_u, g_v, g_alpha, g_z = fused_nested_outer(
         *args, cfg, backend="xla"
     )
     ((ref_loss, (ref_pT, ref_il)), ref_grads), hyper = _engine_outer(
@@ -176,6 +181,36 @@ def test_fused_core_matches_engine_outer(method, dataset, arch):
             float(g_alpha.ravel()[0]), float(ref_grads["alpha"][0]),
             rtol=0.05, atol=1e-6,
         )
+
+
+def test_fused_core_matches_engine_outer_regressor():
+    """Gaussian likelihood (regressor family, ref psvi_classes.py:1940-
+    2335): nested trainer on a D→20→1 regressor_net."""
+    from psvi_tpu.data import read_regression_dataset
+    from psvi_tpu.inference.psvi import PSVIRegressor
+
+    rdata = read_regression_dataset("sinus")
+    eng = PSVIRegressor(
+        rdata, method="psvi_alpha_v_regressor", num_pseudo=12, mc_samples=5,
+        architecture="regressor_net", n_hidden=20, inner_it=4, num_epochs=1,
+        data_minibatch=32, log_every=1000, init_sd=1e-3, tau=1.0, seed=0,
+        fused_inner=False,
+    )
+    assert supports(eng)
+    key = jax.random.PRNGKey(11)
+    args, cfg, (k_batch, k_inner, k_outer), (xb, yb) = _fused_args(eng, key)
+    assert cfg.likelihood == "gaussian"
+    loss, il, pT, g_u, g_v, g_alpha, g_z = fused_nested_outer(
+        *args, cfg, backend="xla"
+    )
+    ((ref_loss, (ref_pT, ref_il)), ref_grads), hyper = _engine_outer(
+        eng, k_inner, k_outer, xb, yb
+    )
+    assert np.isclose(float(loss), float(ref_loss), rtol=1e-5)
+    np.testing.assert_allclose(il, ref_il, rtol=2e-5)
+    assert _cos(g_u, ref_grads["u"]) > 0.999
+    assert _cos(g_v, ref_grads["v"]) > 0.999
+    assert _cos(g_z, ref_grads["z"]) > 0.999
 
 
 @pytest.mark.parametrize("arch", ["logistic_regression", "fn"])
