@@ -134,38 +134,50 @@ def _nested_core(params0, u, v, alpha, ypse, ybat, eps_wi, eps_bi,
     M, B, nc = cfg.M, cfg.B, cfg.nc
     widths = cfg.widths
 
+    # Every structural op that AD crosses (replication, folds, tiling,
+    # per-class extraction) is a constant 0/1 MATMUL: Mosaic lowers the
+    # transpose of broadcast_to / concatenate / slice to `pad`, which its
+    # vector layout pass rejects inside this kernel ("vector types must
+    # have positive constant sizes"); a matmul transposes to a matmul.
+
+    def _mask_mm(mask_bool, x):
+        return jax.lax.dot_general(
+            mask_bool.astype(jnp.float32), x,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
     def rep_sample_major(x):
         # (out, K) → (S·out, K): row s·out+o = x[o] (tile S times)
-        return jnp.concatenate([x] * S, axis=0) if S > 1 else x
+        out = x.shape[0]
+        if S == 1:
+            return x
+        rows = jax.lax.broadcasted_iota(jnp.int32, (S * out, out), 0)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (S * out, out), 1)
+        return _mask_mm(rows % out == cols, x)
 
     def rep_class_major(x):
         # (nc, K) → (nc·S, K): row c·S+s = x[c]
         if S == 1:
             return x
-        return jnp.concatenate(
-            [jnp.broadcast_to(x[c : c + 1], (S, x.shape[1])) for c in range(nc)],
-            axis=0,
-        )
+        rows = jax.lax.broadcasted_iota(jnp.int32, (nc * S, nc), 0)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (nc * S, nc), 1)
+        return _mask_mm(rows // S == cols, x)
 
     def rep_l(lyr, x):
         return rep_class_major(x) if lyr == L - 1 else rep_sample_major(x)
 
     def fold_sample_major(x, out):
-        # (S·out, 1) → (S, 1): sum rows s·out+o over o, via 0/1 matmul
+        # (S·out, 1) → (S, 1): sum rows s·out+o over o
         rows = jax.lax.broadcasted_iota(jnp.int32, (S, S * out), 0)
         cols = jax.lax.broadcasted_iota(jnp.int32, (S, S * out), 1)
-        sel = (cols // out == rows).astype(jnp.float32)
-        return jax.lax.dot_general(
-            sel, x, dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
+        return _mask_mm(cols // out == rows, x)
 
     def fold_class_major(x):
-        # (nc·S, 1) → (S, 1): sum the nc contiguous class blocks
-        out = jax.lax.slice_in_dim(x, 0, S, axis=0)
-        for c in range(1, nc):
-            out = out + jax.lax.slice_in_dim(x, c * S, (c + 1) * S, axis=0)
-        return out
+        # (nc·S, 1) → (S, 1): sum over the nc class blocks (row c·S+s)
+        rows = jax.lax.broadcasted_iota(jnp.int32, (S, nc * S), 0)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (S, nc * S), 1)
+        return _mask_mm(cols % S == rows, x)
 
     def fold_l(lyr, x):
         if lyr == L - 1:
@@ -175,9 +187,19 @@ def _nested_core(params0, u, v, alpha, ypse, ybat, eps_wi, eps_bi,
     def blockdiag(W, lyr):
         # Sampled flat W → (R_out, S·in) block-diagonal operator so the S
         # per-sample matmuls run as ONE matmul against the sample-major
-        # (S·in, P) activations.
+        # (S·in, P) activations. Lane-tiling via a constant 0/1 matmul
+        # (transposable), then the block mask.
         out, inn = widths[lyr + 1], widths[lyr]
-        Wt = jnp.concatenate([W] * S, axis=1) if S > 1 else W
+        if S > 1:
+            trows = jax.lax.broadcasted_iota(jnp.int32, (inn, S * inn), 0)
+            tcols = jax.lax.broadcasted_iota(jnp.int32, (inn, S * inn), 1)
+            tile = (tcols % inn == trows).astype(jnp.float32)
+            Wt = jax.lax.dot_general(
+                W, tile, dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        else:
+            Wt = W
         rows = jax.lax.broadcasted_iota(jnp.int32, (W.shape[0], S * inn), 0)
         cols = jax.lax.broadcasted_iota(jnp.int32, (W.shape[0], S * inn), 1)
         if lyr == L - 1:  # class-major rows c·S+s
@@ -219,10 +241,11 @@ def _nested_core(params0, u, v, alpha, ypse, ybat, eps_wi, eps_bi,
                 + math.log(scale)
                 + _HALF_LOG_2PI
             )  # (S, P)
+        rows = jax.lax.broadcasted_iota(jnp.int32, (S, nc * S), 0)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (S, nc * S), 1)
         Zc = [
-            jax.lax.slice_in_dim(Z, c * S, (c + 1) * S, axis=0)
-            for c in range(nc)
-        ]  # nc × (S, P)
+            _mask_mm(cols == c * S + rows, Z) for c in range(nc)
+        ]  # nc × (S, P) — selection matmuls: AD crosses these (see above)
         mx = Zc[0]
         for c in range(1, nc):
             mx = jnp.maximum(mx, Zc[c])
