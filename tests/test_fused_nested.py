@@ -235,7 +235,11 @@ def test_engine_fused_trajectory_tracks_plain(arch):
     data = read_dataset("halfmoon")
     kw = {**ENGINE_KW, "architecture": arch}
     e1 = PSVI(data, method="psvi_learn_v", fused_inner=False, **kw)
-    e2 = PSVI(data, method="psvi_learn_v", fused_inner=True, **kw)
+    # fused_eps='stream' reproduces the plain path's eps stream exactly;
+    # the default 'batched' is statistically identical but a different
+    # stream (and ~100 us/step cheaper on TPU)
+    e2 = PSVI(data, method="psvi_learn_v", fused_inner=True,
+              fused_eps="stream", **kw)
     key = jax.random.PRNGKey(7)
     s1, l1 = e1._multi_step(e1.state, key, 20)
     s2, l2 = e2._multi_step(e2.state, key, 20)
@@ -246,6 +250,22 @@ def test_engine_fused_trajectory_tracks_plain(arch):
         s1.params[didx[0]]["mu_w"], s2.params[didx[0]]["mu_w"], atol=5e-4
     )
     np.testing.assert_allclose(np.asarray(l1), np.asarray(l2), rtol=2e-4)
+
+
+@pytest.mark.slow
+def test_engine_fused_batched_eps_converges():
+    """Default fused_eps='batched' is a different (but iid-identical)
+    noise stream: trajectories diverge bitwise, so compare training
+    QUALITY — final chained-loss levels within noise of the plain path."""
+    data = read_dataset("halfmoon")
+    e1 = PSVI(data, method="psvi_learn_v", fused_inner=False, **ENGINE_KW)
+    e2 = PSVI(data, method="psvi_learn_v", fused_inner=True, **ENGINE_KW)
+    key = jax.random.PRNGKey(9)
+    _, l1 = e1._multi_step(e1.state, key, 150)
+    _, l2 = e2._multi_step(e2.state, key, 150)
+    tail1 = float(np.mean(np.asarray(l1)[-20:]))
+    tail2 = float(np.mean(np.asarray(l2)[-20:]))
+    assert abs(tail1 - tail2) / abs(tail1) < 0.05
 
 
 def test_supports_gating():

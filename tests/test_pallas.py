@@ -139,3 +139,44 @@ def test_vilinear_pallas_backend():
         np.asarray(lx.apply(params, eps, x)),
         atol=2e-5,
     )
+
+
+@needs_tpu
+@pytest.mark.parametrize("arch", ["logistic_regression", "fn"])
+def test_fused_nested_kernel_matches_xla(arch):
+    """Real-Mosaic execution of the fused bilevel megakernel
+    (ops/fused_nested.py) vs its XLA oracle on identical inputs."""
+    import sys, os
+
+    sys.path.insert(0, os.path.dirname(__file__))
+    from test_fused_nested import _fused_args
+
+    from psvi_tpu.data import read_dataset
+    from psvi_tpu.inference.psvi import PSVI
+    from psvi_tpu.ops.fused_nested import fused_nested_outer
+
+    data = read_dataset("halfmoon")
+    eng = PSVI(
+        data, method="psvi_learn_v", num_pseudo=20, mc_samples=6,
+        architecture=arch, inner_it=5, num_epochs=1, data_minibatch=64,
+        log_every=1000, init_sd=1e-3, seed=0, fused_inner=False,
+    )
+    args, cfg, _, _ = _fused_args(eng, jax.random.PRNGKey(5))
+    out_x = fused_nested_outer(*args, cfg, backend="xla")
+    out_p = fused_nested_outer(*args, cfg, backend="pallas")
+    assert np.isclose(float(out_x[0]), float(out_p[0]), rtol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(out_x[1]), np.asarray(out_p[1]), rtol=1e-5
+    )
+    for a, b in zip(out_x[2], out_p[2]):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-7
+        )
+    np.testing.assert_allclose(
+        np.asarray(out_x[3]), np.asarray(out_p[3]), rtol=1e-3,
+        atol=2e-5 * float(1 + np.abs(np.asarray(out_x[3])).max()),
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_x[4]), np.asarray(out_p[4]), rtol=1e-3,
+        atol=2e-5 * float(1 + np.abs(np.asarray(out_x[4])).max()),
+    )
