@@ -806,7 +806,7 @@ class PSVI:
 
         dense = [self.net.layers[i] for i in self._fused_dense_idx()]
         widths = tuple([dense[0].in_dim] + [l.out_dim for l in dense])
-        return FusedCfg(
+        cfg = FusedCfg(
             T=self.inner_it, S=self.mc_samples, widths=widths,
             M=self.num_pseudo, B=B, N=float(self.N),
             parameterised=self.spec.parameterised,
@@ -815,6 +815,10 @@ class PSVI:
             likelihood=self.likelihood, tau=float(self.tau),
             learn_z=bool(self.spec.learn_z and self.likelihood == "gaussian"),
         )
+        # auto-remat: keep the kernel inside Mosaic's ~16 MB scoped VMEM
+        if cfg.residual_bytes() > 8 * 1024 * 1024:
+            cfg = dataclasses.replace(cfg, remat=True)
+        return cfg
 
     def _nested_step_fused(self, state: PSVIState, key, batch=None):
         """The nested step with the bilevel core executed as ONE Pallas

@@ -88,6 +88,12 @@ class FusedCfg:
     likelihood: str = "categorical"  # 'categorical' | 'gaussian' (regressor)
     tau: float = 0.1  # Gaussian precision (ref psvi_classes.py:1986)
     learn_z: bool = False  # Gaussian pseudo-targets optimized (regressors)
+    # re-materialize each inner iteration in the outer reverse sweep
+    # instead of storing its forward intermediates: Mosaic kernels have a
+    # ~16 MB scoped-VMEM budget and the T-deep unroll's residuals exceed
+    # it for MLP widths (measured: fn h=40 S=10 T=10 wants 22.6 MB).
+    # Engine auto-sets from residual_bytes().
+    remat: bool = False
     b1: float = 0.9  # inner Adam hyperparameters (torch defaults)
     b2: float = 0.999
     adam_eps: float = 1e-8
@@ -103,6 +109,16 @@ class FusedCfg:
     @property
     def nc(self):
         return self.widths[-1]
+
+    def residual_bytes(self):
+        """Rough upper bound on the reverse-sweep residuals the unrolled
+        inner loop keeps live in VMEM (per iteration: a handful of
+        (S·width, M)-sized activations/grads plus the block-diagonal
+        operators)."""
+        wmax = max(self.widths)
+        per_iter = 4 * self.S * wmax * (self.M + 8) * 10
+        per_iter += 4 * self.S * wmax * self.S * wmax  # blockdiag ops
+        return self.T * per_iter
 
 
 def _softplus(x):
@@ -320,19 +336,8 @@ def _nested_core(params0, u, v, alpha, ypse, ybat, eps_wi, eps_bi,
             )  # (S, 1)
             return jnp.sum(pseudo) + kl_term(p)
 
-        p = tuple(params0)
-        m_t = tuple(jnp.zeros_like(x) for x in p)
-        n_t = tuple(jnp.zeros_like(x) for x in p)
-        inner_losses = []
-        for t in range(1, T + 1):
-            ew = [
-                slice_t(eps_wi[lyr], t, S * widths[lyr + 1]) for lyr in range(L)
-            ]
-            eb = [
-                slice_t(eps_bi[lyr], t, S * widths[lyr + 1]) for lyr in range(L)
-            ]
+        def one_iter(t, p, m_t, n_t, ew, eb):
             loss_t, g = jax.value_and_grad(inner_elbo_u)(p, ew, eb)
-            inner_losses.append(loss_t)
             # torch-exact Adam with static bias corrections (fresh state per
             # outer step — higher.innerloop_ctx semantics, ref :549-555)
             bc1 = 1.0 - cfg.b1**t
@@ -348,6 +353,26 @@ def _nested_core(params0, u, v, alpha, ypse, ybat, eps_wi, eps_bi,
                 pp - lr_s * (mm / bc1) / (_sqrt_safe(nn) / bc2s + cfg.adam_eps)
                 for pp, mm, nn in zip(p, m_t, n_t)
             )
+            return p, m_t, n_t, loss_t
+
+        if cfg.remat:
+            # recompute each iteration's forward in the reverse sweep —
+            # keeps the kernel inside Mosaic's scoped-VMEM budget
+            one_iter = jax.checkpoint(one_iter, static_argnums=(0,))
+
+        p = tuple(params0)
+        m_t = tuple(jnp.zeros_like(x) for x in p)
+        n_t = tuple(jnp.zeros_like(x) for x in p)
+        inner_losses = []
+        for t in range(1, T + 1):
+            ew = [
+                slice_t(eps_wi[lyr], t, S * widths[lyr + 1]) for lyr in range(L)
+            ]
+            eb = [
+                slice_t(eps_bi[lyr], t, S * widths[lyr + 1]) for lyr in range(L)
+            ]
+            p, m_t, n_t, loss_t = one_iter(t, p, m_t, n_t, ew, eb)
+            inner_losses.append(loss_t)
 
         # outer negative PSVI-ELBO on (u_, xb) with fresh noise (ref :445-486)
         Wo, bo = sampled_theta(p, eps_wo, eps_bo)
