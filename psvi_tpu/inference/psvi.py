@@ -1123,9 +1123,14 @@ class PSVI:
             "alternating": self._alternating_step,
             "hyper": self._hyper_step,
         }
+        # Evaluate _use_fused_inner() unconditionally so fused_inner=True
+        # ("require") raises for ANY unsupported config — supports()
+        # already checks trainer=='nested'/evaluate_only, so a non-nested
+        # trainer must not short-circuit past the force check (ADVICE r03).
+        use_fused = self._use_fused_inner()
         if self.spec.evaluate_only:
             return self._nested_step  # PSVIEvaluate: net-only nested (:1909-1934)
-        if self.trainer == "nested" and self._use_fused_inner():
+        if self.trainer == "nested" and use_fused:
             return self._nested_step_fused
         return steps[self.trainer]
 

@@ -534,6 +534,17 @@ def supports(engine) -> bool:
         for l in dense
     ):
         return False
+    # FusedCfg carries ONE prior_sd; a custom net with per-layer priors
+    # would silently get the wrong KL/NKL (ADVICE r03; all built-in
+    # builders are uniform).
+    if not all(l.prior_sd == dense[0].prior_sd for l in dense):
+        return False
+    # Under the trial-parallel runner the step is wrapped in jax.vmap —
+    # a vmapped pallas_call (SMEM scalar outputs) is an untested Mosaic
+    # path; fall back to the plain XLA step there (ADVICE r03 /
+    # parallel/trials.py).
+    if getattr(engine, "_in_trial_vmap", False):
+        return False
     widths = [dense[0].in_dim] + [l.out_dim for l in dense]
     S = engine.mc_samples
     if max(widths) * S > _MAX_WIDTH_X_S:

@@ -71,6 +71,10 @@ class TrialParallelPSVI:
         stacked = tmap(lambda *xs: jnp.stack(xs), *states)
         self.states = shard_pytree_leading(stacked, self.mesh, "trial")
 
+        # the per-trial step runs under jax.vmap below — exclude the fused
+        # Pallas nested step (vmapped pallas_call is an untested Mosaic
+        # path; fused_nested.supports() checks this flag)
+        self.base._in_trial_vmap = True
         step_fn = self.base._trainer_fn()
         eval_fn = lambda s, k: self.base._evaluate_fn(s, k, True)
         self._vstep = jax.jit(jax.vmap(step_fn), donate_argnums=(0,))

@@ -267,11 +267,17 @@ STUDIES = {
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("studies", nargs="*", default=list(STUDIES),
-                    choices=list(STUDIES) + [[]], help="studies to run")
+    # No choices=: for nargs='*' argparse validates the DEFAULT list itself
+    # against choices, so running with no study names crashed with
+    # "invalid choice" (ADVICE r03). Validate by hand below instead.
+    ap.add_argument("studies", nargs="*", default=[],
+                    help=f"studies to run (any of: {', '.join(STUDIES)})")
     ap.add_argument("--full", action="store_true",
                     help="notebook-exact epoch counts (TPU scale)")
     args = ap.parse_args()
+    bad = [s for s in args.studies if s not in STUDIES]
+    if bad:
+        ap.error(f"unknown studies {bad}; choose from {list(STUDIES)}")
     if os.environ.get("JAX_PLATFORMS"):
         # honor an explicit platform request despite the axon
         # sitecustomize force-registration (same handling as the CLI)

@@ -289,3 +289,52 @@ def test_supports_gating():
     eng = PSVI(data, method="psvi_learn_v", fused_inner="auto", **ENGINE_KW)
     assert supports(eng)
     assert eng._use_fused_inner() == (jax.default_backend() == "tpu")
+
+
+def test_fused_force_raises_for_non_nested_trainer():
+    """fused_inner=True must raise for ANY unsupported config, including
+    non-nested trainers (the trainer guard must not short-circuit past
+    the force check — ADVICE r03)."""
+    data = read_dataset("halfmoon")
+    with pytest.raises(ValueError):
+        PSVI(data, method="psvi_learn_v", trainer="joint",
+             fused_inner=True, **ENGINE_KW)
+    with pytest.raises(ValueError):
+        PSVI(data, method="psvi_learn_v", trainer="hyper",
+             fused_inner=True, **ENGINE_KW)
+
+
+def test_supports_rejects_nonuniform_prior_sd():
+    """FusedCfg carries one prior_sd; mixed per-layer priors must fall
+    back to the XLA path (ADVICE r03)."""
+    import dataclasses as dc
+
+    data = read_dataset("halfmoon")
+    eng = PSVI(data, method="psvi_learn_v", fused_inner=False,
+               **{**ENGINE_KW, "architecture": "fn"})
+    assert supports(eng)
+    layers = list(eng.net.layers)
+    last = layers[-1]
+    layers[-1] = dc.replace(last, prior_sd=2.0 * last.prior_sd)
+    eng.net = dc.replace(eng.net, layers=tuple(layers))
+    assert not supports(eng)
+
+
+def test_supports_rejects_trial_vmap():
+    """The trial-parallel runner wraps the step in jax.vmap; the fused
+    pallas path is excluded there (ADVICE r03, parallel/trials.py)."""
+    from psvi_tpu.parallel.trials import TrialParallelPSVI
+
+    data = read_dataset("halfmoon")
+    eng = PSVI(data, method="psvi_learn_v", fused_inner=False, **ENGINE_KW)
+    assert supports(eng)
+    eng._in_trial_vmap = True
+    assert not supports(eng)
+
+    kw = {k: v for k, v in ENGINE_KW.items() if k != "seed"}
+    runner = TrialParallelPSVI(
+        data, num_trials=2, method="psvi_learn_v", **kw
+    )
+    # the runner's step resolves to the plain nested step even where the
+    # config itself is fused-eligible
+    assert runner.base._trainer_fn() == runner.base._nested_step
