@@ -356,10 +356,15 @@ def main():
     ap.add_argument("--report", action="store_true")
     ap.add_argument("--dataset", choices=["synth_mnist_hard", "digits28"],
                     default="synth_mnist_hard")
+    ap.add_argument("--tag", default="",
+                    help="protocol tag appended to the output filename "
+                         "(e.g. 'warm' for a warm-persistent-cache run)")
     args = ap.parse_args()
     if args.epochs:
         CFG["num_epochs"] = args.epochs
     suffix = "" if args.dataset == "synth_mnist_hard" else f"_{args.dataset}"
+    if args.tag:
+        suffix += f"_{args.tag}"
 
     os.makedirs(OUT_DIR, exist_ok=True)
     data, ceiling = build_data(args.dataset)
