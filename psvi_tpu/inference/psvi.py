@@ -137,6 +137,13 @@ class PSVI:
         inner_unroll: int = 2,
         compute_dtype: str = "float32",
         pool_backend: str = "reshape",  # 'argmax' = int8-argmax residuals
+        # fold (conv, 2x2-maxpool) pairs into the parity-split pooled-conv
+        # (models/layers.VIConvPool2d): the pre-pool activations never
+        # materialize and the pool's reshape/broadcast chain disappears
+        # from the bilevel unroll (see the layer docstring and
+        # BENCHMARKS.md). Same math; disable for the literal conv→pool
+        # formulation.
+        fuse_convpool: bool = True,
         # dense-layer compute backend: 'pallas' = fused sample+matmul TPU
         # kernel (ops/pallas_vi.py) on mean-field VILinear layers.
         # First-order trainers/paths only (joint/alternating, MFVI, eval) —
@@ -248,6 +255,7 @@ class PSVI:
         self.inner_unroll = max(int(inner_unroll), 1)
         self.compute_dtype = compute_dtype
         self.pool_backend = pool_backend
+        self.fuse_convpool = fuse_convpool
         if backend == "pallas" and trainer in ("nested", "hyper"):
             raise ValueError(
                 "backend='pallas' serves first-order paths only "
@@ -415,6 +423,13 @@ class PSVI:
             from psvi_tpu.models.layers import with_pool_backend
 
             self.net = with_pool_backend(self.net, self.pool_backend)
+        elif self.fuse_convpool and not self.packed:
+            # parity-split pooled conv (no-op for nets without
+            # (conv, k==s maxpool) pairs); an explicit pool_backend or
+            # packed=True keeps the literal formulation
+            from psvi_tpu.models.layers import fuse_conv_pool
+
+            self.net = fuse_conv_pool(self.net)
         if self.backend != "xla":
             from psvi_tpu.models.layers import with_dense_backend
 
@@ -738,8 +753,8 @@ class PSVI:
             # non-differentiated warmup with a fresh Adam(1e-4) (ref :561-571)
             warm_opt = O.adam(1e-4)
             params0, _, _ = self._run_inner(
-                params0, state.u, state.z, state.v, state.alpha,
-                jax.random.fold_in(k_inner, 1),
+                params0, self.net.prep_input(state.u), state.z, state.v,
+                state.alpha, jax.random.fold_in(k_inner, 1),
                 lr_now=jnp.float32(1e-4),
                 n_steps=self.inner_it - self.truncated_K, opt=warm_opt,
             )
@@ -749,8 +764,13 @@ class PSVI:
             v = h.get("v", state.v)
             z = h.get("z", state.z)
             alpha = h.get("alpha", state.alpha)
+            # patch-extract u ONCE, outside the T-deep inner scan: the
+            # scan's per-iteration cotangent w.r.t. the prepped input is
+            # then one accumulation; the extraction transpose runs once
+            # here (layers.PrePatched; no-op for non-conv-headed nets)
             paramsT, _, inner_losses = self._run_inner(
-                params0, u, z, v, alpha, k_inner, lr_now,
+                params0, self.net.prep_input(u), z, v, alpha, k_inner,
+                lr_now,
                 n_steps=self.truncated_K if self.truncated else None,
             )
             eps = self._sample_eps(k_outer, self.mc_samples)

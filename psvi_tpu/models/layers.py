@@ -490,6 +490,214 @@ class ReLU(Layer):
 
 
 @dataclasses.dataclass(frozen=True)
+class Identity(Layer):
+    """Pass-through placeholder. Used by :func:`fuse_conv_pool` in place of
+    a MaxPool2d that was folded into the preceding conv, so the params/eps
+    pytree structure (and hence checkpoints) match the unfused net."""
+
+    def apply(self, params, eps, x):
+        return x
+
+
+@dataclasses.dataclass(frozen=True)
+class VIConvPool2d(VIConv2d):
+    """Conv + non-overlapping ``pool_k``×``pool_k`` max-pool, fused.
+
+    The flagship bilevel profile (BENCHMARKS.md "step anatomy") shows the
+    LeNet nested step dominated not by conv FLOPs but by the POOL's
+    reshape/broadcast chain over the full-resolution pre-pool activations
+    — bf16 (S, N, C, 28, 28) tensors rebuilt/re-read every inner
+    iteration of the unroll, forward and double-backward (~5 ms of the
+    29 ms step).
+
+    Here the pooled output is computed DIRECTLY: the conv's output
+    positions are split into the pool_k² pool-window parities, each
+    parity computed as its own im2col einsum (patches taken at stride
+    pool_k — same total FLOPs as the full conv), and the pool is an
+    elementwise max over the parity tensors. Consequences:
+
+    - the (S, N, C, OH, OW) pre-pool tensor NEVER materializes; every
+      tensor the unroll stores/re-reads is pool_k²× smaller;
+    - pool backward is a compare/select over parity tensors — no
+      reshape/broadcast relayouts;
+    - the conv filter gradient is an MXU matmul against the patch
+      stacks, and for the coreset input u (loop-invariant in the inner
+      scan) the patch stacks are HOISTED out of the unrolled loop, so
+      the whole conv1 backward w.r.t. u reduces to cotangent
+      accumulation inside the loop + one scatter outside it;
+    - the bias is added after the max (max(a+β, b+β) = max(a, b)+β —
+      exact, rounding is monotone; same argument as the pool↔relu swap).
+
+    Numerics: per-output-position arithmetic is the im2col einsum of
+    ``VIConv2d._apply_patches`` restricted to a parity subset —
+    reduction order inside each output position is unchanged, so
+    results match the patch path to reassociation noise (tested).
+
+    Falls back to the unfused parent conv + reshape-pool when the conv
+    output doesn't tile by pool_k (never on LeNet shapes).
+    """
+
+    pool_k: int = 2
+
+    def supports_parity(self, x_shape) -> bool:
+        """True when ``x_shape`` (N, C, H, W) takes the parity path."""
+        if len(x_shape) != 4:
+            return False
+        k, st, p, pk = self.kernel_size, self.stride, self.padding, self.pool_k
+        H, W = x_shape[-2], x_shape[-1]
+        OH = (H + 2 * p - k) // st + 1
+        OW = (W + 2 * p - k) // st + 1
+        return (
+            OH % pk == 0
+            and OW % pk == 0
+            and self.in_channels * k * k <= 256
+        )
+
+    def extract_patches(self, x):
+        """Stride-1 im2col patches reshaped for the parity einsums:
+        (N, q, C, PH, pk, PW, pk), cast to compute_dtype.
+
+        Exposed so the ENGINE can run it OUTSIDE the differentiated inner
+        scan (wrapped as :class:`PrePatched`): the patches of the coreset
+        u are loop-invariant, but their cotangent is not — extracted
+        in-loop, every inner iteration of the bilevel backward pays a
+        patch-sized zero-materialize + dynamic-update-slice per pool
+        parity (measured 3.9 ms/step of dynamic_update_slice alone on
+        the flagship LeNet step). Pre-extracted, the in-loop cotangent
+        is one elementwise accumulation and the patch transpose runs
+        once per outer step."""
+        k, st, p, pk = self.kernel_size, self.stride, self.padding, self.pool_k
+        N, C, H, W = x.shape
+        OH = (H + 2 * p - k) // st + 1
+        OW = (W + 2 * p - k) // st + 1
+        xp = jnp.pad(x, ((0, 0), (0, 0), (p, p), (p, p))) if p else x
+        cols = [
+            xp[:, :, i : i + st * OH : st, j : j + st * OW : st]
+            for i in range(k)
+            for j in range(k)
+        ]
+        P = jnp.stack(cols, axis=1)  # (N, q, C, OH, OW)
+        Pr = P.reshape(N, k * k, C, OH // pk, pk, OW // pk, pk)
+        cd = jnp.dtype(self.compute_dtype)
+        return Pr.astype(cd) if cd != jnp.float32 else Pr
+
+    def apply_theta(self, w, b, x):
+        if isinstance(x, PrePatched):
+            return self._parity_matmuls(w, b, x.pr)
+        k, st, p, pk = self.kernel_size, self.stride, self.padding, self.pool_k
+        H, W = x.shape[-2], x.shape[-1]
+        OH = (H + 2 * p - k) // st + 1
+        OW = (W + 2 * p - k) // st + 1
+        if (
+            x.ndim != 4
+            or OH % pk
+            or OW % pk
+            or self.in_channels * k * k > 256
+        ):
+            # Batched (loop-variant) inputs keep the parent formulation +
+            # reshape-pool: per-iteration im2col of a loop-variant tensor
+            # is a measured dead end (docs/ROADMAP.md; re-measured for the
+            # parity form in round 4: conv2-fused 79 ms vs 31 ms/step).
+            y = super().apply_theta(w, b, x)
+            *lead, HH, WW = y.shape
+            y = y.reshape(*lead, HH // pk, pk, WW // pk, pk)
+            return jnp.max(y, axis=(-3, -1))
+        return self._parity_conv(w, b, x)
+
+    def _parity_conv(self, w, b, x):
+        """Unbatched (N, C, H, W) input — the coreset u in the bilevel
+        unroll. ONE stride-1 patch extraction (hoisted: loop-invariant),
+        parity views via reshape + static index (their VJP is a cheap
+        pad, NOT the interior-pad swarm a strided slice transposes to —
+        measured 58 ms/step with strided-slice parities vs 30 ms with
+        this form), one einsum per parity, elementwise max, bias last."""
+        return self._parity_matmuls(w, b, self.extract_patches(x))
+
+    def _parity_matmuls(self, w, b, Pr):
+        """Parity einsums + max + bias on pre-extracted patches
+        (N, q, C, PH, pk, PW, pk)."""
+        S, K, C = w.shape[0], w.shape[1], self.in_channels
+        k = self.kernel_size
+        wf = w.reshape(S, K, C, k * k)
+        cd = jnp.dtype(self.compute_dtype)
+        if cd != jnp.float32:
+            wf = wf.astype(cd)
+            b = b.astype(cd) if b is not None else None
+        pk = self.pool_k
+        y = None
+        for a_ in range(pk):
+            for b_ in range(pk):
+                ya = jnp.einsum(
+                    "nqchw,skcq->snkhw", Pr[:, :, :, :, a_, :, b_], wf
+                )
+                y = ya if y is None else jnp.maximum(y, ya)
+        if b is not None:
+            y = y + b[:, None, :, None, None]
+        return y
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class PrePatched:
+    """Pre-extracted first-layer conv patches, standing in for the raw
+    (N, C, H, W) input of a :class:`VIConvPool2d`-headed net.
+
+    Produced by :meth:`Sequential.prep_input` OUTSIDE the bilevel inner
+    scan so the scan's cotangent w.r.t. the (loop-invariant) input is a
+    single elementwise accumulation — see
+    :meth:`VIConvPool2d.extract_patches`."""
+
+    pr: Any  # (N, q, C, PH, pk, PW, pk)
+    x_shape: tuple  # static original input shape (N, C, H, W)
+
+    def tree_flatten(self):
+        return (self.pr,), self.x_shape
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(children[0], aux)
+
+    @property
+    def ndim(self):
+        return len(self.x_shape)
+
+    @property
+    def shape(self):
+        return self.x_shape
+
+
+def fuse_conv_pool(net: "Sequential") -> "Sequential":
+    """Fold every top-level ``(VIConv2d, MaxPool2d(k == s, p == 0))`` pair
+    into a :class:`VIConvPool2d` + :class:`Identity` pair (the pooled-conv
+    parity formulation). Params/eps pytree structure is preserved — both
+    MaxPool2d and Identity hold empty params — so checkpoints and states
+    transfer between fused and unfused nets."""
+    layers = list(net.layers)
+    out = []
+    i = 0
+    while i < len(layers):
+        l = layers[i]
+        nxt = layers[i + 1] if i + 1 < len(layers) else None
+        if (
+            type(l) is VIConv2d
+            and isinstance(nxt, MaxPool2d)
+            and nxt.kernel_size == nxt.stride
+            and nxt.padding == 0
+            and nxt.backend == "reshape"
+        ):
+            fused = VIConvPool2d(
+                **{f.name: getattr(l, f.name) for f in dataclasses.fields(l)},
+                pool_k=nxt.kernel_size,
+            )
+            out += [fused, Identity()]
+            i += 2
+        else:
+            out.append(l)
+            i += 1
+    return dataclasses.replace(net, layers=tuple(out))
+
+
+@dataclasses.dataclass(frozen=True)
 class Flatten(Layer):
     """Flatten trailing (C, H, W) → features (ref ``nn.Flatten(-3, -1)``)."""
 
@@ -735,6 +943,25 @@ class Sequential:
         return tuple(
             i for i, l in enumerate(self.layers) if l.is_variational
         )
+
+    def prep_input(self, x):
+        """Pre-extract first-layer conv patches for repeated forwards on
+        the SAME input (the bilevel inner loop on the coreset u).
+
+        Returns a :class:`PrePatched` when the net starts with a
+        :class:`VIConvPool2d` on an eligible unbatched input, else ``x``
+        unchanged. Callers pass the result anywhere they would pass
+        ``x``; numerics are identical (the same extraction runs inside
+        ``apply`` otherwise)."""
+        if (
+            self.layers
+            and isinstance(self.layers[0], VIConvPool2d)
+            and not isinstance(x, PrePatched)
+            and x.ndim == 4
+            and self.layers[0].supports_parity(x.shape)
+        ):
+            return PrePatched(self.layers[0].extract_patches(x), tuple(x.shape))
+        return x
 
 
 def with_compute_dtype(net, dtype: str):

@@ -389,3 +389,83 @@ def test_argmax_pool_matches_reshape_pool():
     gg_ref = jax.grad(lambda x: jnp.sum(jax.grad(f_ref)(x) ** 2))(x)
     gg_am = jax.grad(lambda x: jnp.sum(jax.grad(f_am)(x) ** 2))(x)
     assert jnp.all(gg_ref == gg_am)
+
+
+def test_fuse_conv_pool_matches_unfused():
+    """Parity-split pooled conv (VIConvPool2d): forward, gradients and
+    grad-of-grad match the literal conv->reshape-pool formulation to
+    reassociation noise, for unbatched, batched and PrePatched inputs."""
+    from psvi_tpu.models.layers import fuse_conv_pool, Identity, VIConvPool2d
+    from psvi_tpu.models.networks import make_lenet
+
+    net = make_lenet(init_sd=1e-2)
+    fnet = fuse_conv_pool(net)
+    assert isinstance(fnet.layers[0], VIConvPool2d)
+    assert isinstance(fnet.layers[1], Identity)
+    params = net.init(jax.random.PRNGKey(0))
+    eps = net.sample_eps(jax.random.PRNGKey(1), 4)
+    # identical pytree structure: states/checkpoints transfer
+    assert jax.tree_util.tree_structure(
+        fnet.init(jax.random.PRNGKey(0))
+    ) == jax.tree_util.tree_structure(params)
+
+    x = jax.random.normal(jax.random.PRNGKey(2), (5, 1, 28, 28))
+    y0, y1 = net.apply(params, eps, x), fnet.apply(params, eps, x)
+    np.testing.assert_allclose(y0, y1, atol=2e-6)
+    xs = jax.random.normal(jax.random.PRNGKey(3), (4, 5, 1, 28, 28))
+    np.testing.assert_allclose(
+        net.apply(params, eps, xs), fnet.apply(params, eps, xs), atol=2e-6
+    )
+
+    def loss(p, xx, n):
+        return jnp.sum(jnp.sin(n.apply(p, eps, xx)))
+
+    g0 = jax.grad(loss)(params, x, net)
+    g1 = jax.grad(loss)(params, x, fnet)
+    for a, b in zip(jax.tree_util.tree_leaves(g0), jax.tree_util.tree_leaves(g1)):
+        np.testing.assert_allclose(a, b, atol=5e-5)
+    gx0 = jax.grad(loss, argnums=1)(params, x, net)
+    gx1 = jax.grad(loss, argnums=1)(params, x, fnet)
+    np.testing.assert_allclose(gx0, gx1, atol=5e-5)
+
+    def gradnorm(p, n):
+        g = jax.grad(loss)(p, x, n)
+        return sum(jnp.sum(jnp.square(l)) for l in jax.tree_util.tree_leaves(g))
+
+    h0 = jax.grad(gradnorm)(params, net)
+    h1 = jax.grad(gradnorm)(params, fnet)
+    for a, b in zip(jax.tree_util.tree_leaves(h0), jax.tree_util.tree_leaves(h1)):
+        np.testing.assert_allclose(a, b, atol=1e-2)
+
+
+def test_prep_input_prepatched_equivalence():
+    """Sequential.prep_input pre-extracts first-layer patches; applying
+    the net to the PrePatched stand-in matches applying it to x, with
+    identical gradients w.r.t. x through the extraction."""
+    from psvi_tpu.models.layers import fuse_conv_pool, PrePatched
+    from psvi_tpu.models.networks import make_lenet
+
+    fnet = fuse_conv_pool(make_lenet(init_sd=1e-2))
+    params = fnet.init(jax.random.PRNGKey(0))
+    eps = fnet.sample_eps(jax.random.PRNGKey(1), 3)
+    x = jax.random.normal(jax.random.PRNGKey(2), (5, 1, 28, 28))
+    pre = fnet.prep_input(x)
+    assert isinstance(pre, PrePatched) and pre.shape == x.shape
+
+    y0 = fnet.apply(params, eps, x)
+    y1 = fnet.apply(params, eps, pre)
+    np.testing.assert_allclose(y0, y1, atol=1e-6)
+
+    f_direct = lambda xx: jnp.sum(jnp.cos(fnet.apply(params, eps, xx)))
+    f_prep = lambda xx: jnp.sum(
+        jnp.cos(fnet.apply(params, eps, fnet.prep_input(xx)))
+    )
+    np.testing.assert_allclose(
+        jax.grad(f_direct)(x), jax.grad(f_prep)(x), atol=2e-5
+    )
+    # non-conv nets / batched inputs pass through untouched
+    from psvi_tpu.models.networks import make_fcnet
+
+    mlp = make_fcnet(4, 8, 2)
+    z = jnp.ones((3, 4))
+    assert mlp.prep_input(z) is z
