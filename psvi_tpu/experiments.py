@@ -259,6 +259,18 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--inner_unroll", type=int, default=2,
                    help="lax.scan unroll factor for the inner loop "
                         "(numerics-identical; 2 is fastest measured)")
+    p.add_argument("--fuse_convpool", action=argparse.BooleanOptionalAction,
+                   default=True,
+                   help="fold (conv, 2x2-maxpool) pairs into the "
+                        "parity-split pooled conv (VIConvPool2d): the "
+                        "pre-pool activations never materialize in the "
+                        "bilevel unroll. Same math; --no-fuse_convpool "
+                        "keeps the literal conv->pool formulation (A/B)")
+    p.add_argument("--pool_backend", type=str, default="reshape",
+                   choices=["reshape", "argmax"],
+                   help="max-pool formulation for unfused pools: 'argmax' "
+                        "stores int8 argmax residuals instead of the "
+                        "reshape-pool's mask (disables fuse_convpool)")
     p.add_argument("--debug_nans", action="store_true", default=False,
                    help="enable jax_debug_nans — every jitted computation "
                         "re-runs op-by-op on a NaN and raises at the "

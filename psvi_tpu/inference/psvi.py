@@ -790,29 +790,39 @@ class PSVI:
         )
         return state, {"outer_loss": loss, "inner_losses": inner_losses}
 
-    # -- fused bilevel megakernel path (ops/fused_nested.py) ------------
+    # -- fused bilevel megakernel paths ---------------------------------
+    # (ops/fused_nested.py: whole-step dense kernel; ops/fused_lenet.py:
+    #  conv-family inner-unroll kernel pair with the outer ELBO in XLA)
 
-    def _use_fused_inner(self) -> bool:
+    def _use_fused_inner(self):
+        """Which fused bilevel kernel serves this config: 'dense'
+        (ops/fused_nested), 'lenet' (ops/fused_lenet), or None."""
+        from psvi_tpu.ops import fused_lenet as FLK
         from psvi_tpu.ops import fused_nested as FN
 
         if self.fused_inner is False:
-            return False
+            return None
         # CLI default (None) means 'auto'
         if self.fused_inner is None:
             self.fused_inner = "auto"
-        ok = FN.supports(self)
+        which = "dense" if FN.supports(self) else (
+            "lenet" if FLK.supports(self) else None
+        )
         if self.fused_inner is True:
-            if not ok:
+            if which is None:
                 raise ValueError(
-                    "fused_inner=True requires the logreg-family nested "
-                    "configuration (single mean-field VILinear net, "
-                    "categorical likelihood, plain nested trainer, inner "
-                    "Adam, f32, no eps/batch sharding)"
+                    "fused_inner=True requires a fused-kernel-supported "
+                    "nested configuration: the logreg family (single "
+                    "mean-field VILinear net, categorical or Gaussian "
+                    "likelihood, f32, no eps/batch sharding) or the LeNet "
+                    "family (two pooled 5x5 convs + three dense layers, "
+                    "categorical hard labels), with the plain nested "
+                    "trainer and inner Adam"
                 )
-            return True
-        # 'auto': only where it wins — the Mosaic kernel exists to beat
+            return which
+        # 'auto': only where it wins — the Mosaic kernels exist to beat
         # per-op dispatch latency on a real TPU
-        return ok and jax.default_backend() == "tpu"
+        return which if jax.default_backend() == "tpu" else None
 
     def _fused_dense_idx(self):
         from psvi_tpu.models.layers import VILinear
@@ -957,6 +967,75 @@ class PSVI:
             }
         state = state._replace(
             params=tuple(params), net_step=state.net_step + 1
+        )
+        return state, {"outer_loss": loss, "inner_losses": inner_losses}
+
+    def _nested_step_fused_lenet(self, state: PSVIState, key, batch=None):
+        """The nested step with the T-iteration differentiable inner loop
+        executed as the fused conv-family Pallas kernel pair
+        (ops/fused_lenet.py kernels A/B behind one custom_vjp); the outer
+        IW-ELBO and hyper-updates stay in XLA, identical to
+        ``_nested_step``. With ``fused_eps='stream'`` the inner noise is
+        bit-identical to ``_run_inner``'s per-iteration stream (same
+        draws, kernel layout); the default 'batched' draws in-kernel
+        (Box-Muller) — a different but iid-identical stream."""
+        from psvi_tpu.ops import fused_lenet as FLK
+
+        k_batch, k_inner, k_outer = jax.random.split(key, 3)
+        xb, yb = self._get_batch(k_batch, batch)
+        lr_now = self.lr_net_sched(state.net_step)
+        hyper = self._hyper_tree(state)
+
+        cfg = FLK.cfg_from_engine(self)
+        backend = "pallas" if jax.default_backend() == "tpu" else "xla"
+        fn = FLK.make_fused_unroll(cfg, backend=backend)
+        didx = list(self.net.variational_layers)  # conv1,conv2,fc1,fc2,fc3
+        lr = jnp.asarray(lr_now, jnp.float32).reshape(1, 1)
+        ypse = jax.nn.one_hot(state.z.astype(jnp.int32), cfg.nc).T
+        if cfg.eps_mode == "input":
+            keys = jax.random.split(k_inner, max(cfg.T, 1))
+            eps_ts = jax.vmap(
+                lambda k: self.net.sample_eps(k, cfg.S)
+            )(keys[: cfg.T])
+            stacks = FLK.eps_stacks_from_tree(eps_ts, didx, cfg)
+            seed = jnp.zeros((1, 2), jnp.float32)
+        else:
+            stacks = ()
+            seed = FLK.seed_halves(k_inner)
+
+        def outer(h):
+            u = h.get("u", state.u)
+            v = h.get("v", state.v)
+            alpha = h.get("alpha", state.alpha)
+            p_flat = FLK.pack_params(
+                tuple(state.params[i] for i in didx), cfg
+            )
+            patches = FLK.lenet_patches(u, cfg)
+            pT_flat, inner_losses = fn(
+                p_flat, patches, v.reshape(1, cfg.M),
+                alpha.reshape(1, 1), ypse, stacks, lr, seed,
+            )
+            layerT = FLK.unpack_params(pT_flat, cfg)
+            params = list(state.params)
+            for j, i in enumerate(didx):
+                params[i] = layerT[j]
+            paramsT = tuple(params)
+            eps = self._sample_eps(k_outer, self.mc_samples)
+            loss = self._outer_loss(
+                paramsT, eps, u, state.z, v, alpha, xb, yb
+            )
+            return loss, (paramsT, inner_losses.reshape(-1))
+
+        if hyper:
+            (loss, (paramsT, inner_losses)), grads = jax.value_and_grad(
+                outer, has_aux=True
+            )(hyper)
+            state = self._apply_hyper_updates(state, grads)
+        else:
+            loss, (paramsT, inner_losses) = outer(hyper)
+
+        state = state._replace(
+            params=paramsT, net_step=state.net_step + 1
         )
         return state, {"outer_loss": loss, "inner_losses": inner_losses}
 
@@ -1150,8 +1229,10 @@ class PSVI:
         use_fused = self._use_fused_inner()
         if self.spec.evaluate_only:
             return self._nested_step  # PSVIEvaluate: net-only nested (:1909-1934)
-        if self.trainer == "nested" and use_fused:
+        if self.trainer == "nested" and use_fused == "dense":
             return self._nested_step_fused
+        if self.trainer == "nested" and use_fused == "lenet":
+            return self._nested_step_fused_lenet
         return steps[self.trainer]
 
     def _compile(self):

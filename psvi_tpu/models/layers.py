@@ -533,7 +533,8 @@ class VIConvPool2d(VIConv2d):
     reduction order inside each output position is unchanged, so
     results match the patch path to reassociation noise (tested).
 
-    Falls back to the unfused parent conv + reshape-pool when the conv
+    Falls back to the unfused parent conv + crop-and-reshape pool (floor
+    semantics, matching reduce_window / torch MaxPool2d) when the conv
     output doesn't tile by pool_k (never on LeNet shapes).
     """
 
@@ -600,6 +601,10 @@ class VIConvPool2d(VIConv2d):
             # parity form in round 4: conv2-fused 79 ms vs 31 ms/step).
             y = super().apply_theta(w, b, x)
             *lead, HH, WW = y.shape
+            # floor semantics: crop trailing rows/cols that don't tile by
+            # pool_k, matching reduce_window / torch MaxPool2d defaults
+            # (a 27x27 conv output pools to 13x13, not a reshape error)
+            y = y[..., : (HH // pk) * pk, : (WW // pk) * pk]
             y = y.reshape(*lead, HH // pk, pk, WW // pk, pk)
             return jnp.max(y, axis=(-3, -1))
         return self._parity_conv(w, b, x)

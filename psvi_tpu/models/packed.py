@@ -148,6 +148,11 @@ class PackedMeanField:
     def layers(self):
         return self.base.layers
 
+    def prep_input(self, x):
+        """Delegate to :meth:`Sequential.prep_input`; ``apply`` handles the
+        resulting :class:`PrePatched` through ``apply_theta`` unchanged."""
+        return self.base.prep_input(x)
+
     def init(self, key):
         """Bitwise-identical initial values to ``Sequential.init``."""
         tree = self.base.init(key)

@@ -95,6 +95,13 @@ class LeNetCfg:
     b1: float = 0.9
     b2: float = 0.999
     adam_eps: float = 1e-8
+    # Per-matmul-site precision override (see :func:`_site_precision`):
+    # None = tuned default {'pseudo','flat_w','fc2','fc3'} exact; 'all' /
+    # 'none' / comma-list of sites. Part of the (hashable) config so it
+    # participates in the make_fused_unroll cache key — the env override
+    # PSVI_TPU_FL_EXACT is read ONCE by :func:`cfg_from_engine`, never at
+    # trace time (round-4 advisor finding).
+    exact_sites: str = "default"
 
     @property
     def P1(self):  # post-pool1 spatial
@@ -244,26 +251,25 @@ def unpack_params(flat, cfg: LeNetCfg):
 _EXACT = jax.lax.Precision.HIGHEST
 
 
-def _site_precision(site: str):
+def _site_precision(site: str, exact_sites: str = "default"):
     """Per-matmul-site precision for the compute dots.
 
     Mosaic supports only DEFAULT (one bf16 MXU pass) and HIGHEST.
     Structural 0/1 movement is always HIGHEST (see _mask_mm); compute
     sites are tuned here — the bilevel second-order through Adam
     amplifies bf16 rounding of the small-magnitude gradient entries,
-    so the sites feeding them run exact. Overridable for experiments:
-    PSVI_TPU_FL_EXACT=comma-list (or 'all' / 'none')."""
-    import os
-
-    env = os.environ.get("PSVI_TPU_FL_EXACT")
-    if env is not None:
-        if env == "all":
-            return _EXACT
-        if env == "none":
-            return None
-        return _EXACT if site in env.split(",") else None
-    default_exact = {"pseudo", "flat_w", "fc2", "fc3"}
-    return _EXACT if site in default_exact else None
+    so the sites feeding them run exact. ``exact_sites`` comes from
+    ``LeNetCfg.exact_sites`` ('default' / 'all' / 'none' / comma-list
+    of exact-token site names) so it is part of the kernel cache key;
+    the PSVI_TPU_FL_EXACT env override is resolved once at config
+    construction (:func:`cfg_from_engine`), never at trace time."""
+    if exact_sites == "default":
+        return _EXACT if site in ("pseudo", "flat_w", "fc2", "fc3") else None
+    if exact_sites == "all":
+        return _EXACT
+    if exact_sites == "none":
+        return None
+    return _EXACT if site in exact_sites.split(",") else None
 
 
 def _mask_mm(mask_bool, x):
@@ -376,8 +382,19 @@ def _ensure_roll_ad():
     global _roll_ad_registered
     if _roll_ad_registered:
         return
-    from jax.interpreters import ad
-    from jax._src.pallas.mosaic.primitives import roll_p
+    try:
+        from jax.interpreters import ad
+        from jax._src.pallas.mosaic.primitives import roll_p
+        from jax._src.ad_checkpoint import remat_p  # noqa: F401
+        from jax._src.pallas.mosaic import lowering as _ml  # noqa: F401
+    except ImportError as e:  # pragma: no cover
+        raise RuntimeError(
+            "fused_lenet needs jax-internal hooks (Mosaic roll_p AD rules "
+            "+ a remat_p Mosaic lowering) whose private import paths moved "
+            f"in this JAX version ({jax.__version__}): {e}. Run with "
+            "fused_inner=False (plain XLA nested step) until the hooks in "
+            "psvi_tpu/ops/fused_lenet.py:_ensure_roll_ad are updated."
+        ) from e
 
     ad.defjvp(
         roll_p,
@@ -401,7 +418,7 @@ def _ensure_roll_ad():
     # (kernel A's primal path), lower it by INLINING its jaxpr — the
     # same pattern the lowering uses for custom_jvp_call.
     from jax._src.ad_checkpoint import remat_p
-    from jax._src.pallas.mosaic import lowering as _ml
+    from jax._src.pallas.mosaic import lowering as _ml  # noqa: F811
 
     @_ml.register_lowering_rule(remat_p)
     def _remat_lowering(ctx, *args, jaxpr, **_):
@@ -440,6 +457,7 @@ def _make_body(cfg: LeNetCfg, backend: str):
     f = cfg.fc
     L = cfg.lanes
     roll = _make_roll(backend)
+    prec = lambda site: _site_precision(site, cfg.exact_sites)  # noqa: E731
 
     def core_weights(v, alpha):
         if cfg.parameterised:
@@ -479,7 +497,7 @@ def _make_body(cfg: LeNetCfg, backend: str):
             ya = jax.lax.dot_general(
                 w1, P_ab, dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
-                precision=_site_precision("conv1"),
+                precision=prec("conv1"),
             )  # (S·K1, L)
             A = ya if A is None else jnp.maximum(A, ya)
         return jnp.maximum(A + b1, 0.0)
@@ -497,7 +515,7 @@ def _make_body(cfg: LeNetCfg, backend: str):
         out = jax.lax.dot_general(
             bd, pooled1, dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-            precision=_site_precision("conv2"),
+            precision=prec("conv2"),
         )
         return out if dd == 0 else roll(out, -(dy * P1 + dx))
 
@@ -519,7 +537,7 @@ def _make_body(cfg: LeNetCfg, backend: str):
         return jax.lax.dot_general(
             g_in, C0, dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-            precision=_site_precision("flat_sel"),
+            precision=prec("flat_sel"),
         )  # (S·K2, M)
 
     def _flat_contrib(pidx, pooled2, wf1, C0):
@@ -529,7 +547,7 @@ def _make_body(cfg: LeNetCfg, backend: str):
         return jax.lax.dot_general(
             bdw, Gp, dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-            precision=_site_precision("flat_w"),
+            precision=prec("flat_w"),
         )
 
     def forward_nll(th, patches, ypse, C0):
@@ -550,7 +568,7 @@ def _make_body(cfg: LeNetCfg, backend: str):
             _blockdiag_sample(wf2, S, f[2], f[1]), H1,
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-            precision=_site_precision("fc2"),
+            precision=prec("fc2"),
         )
         H2a = jnp.maximum(H2a + bf2, 0.0)  # (S·h2, M)
         # fc3 (class-major blockdiag) → logits (nc·S, M)
@@ -558,7 +576,7 @@ def _make_body(cfg: LeNetCfg, backend: str):
             _blockdiag_class(wf3, S, nc, f[2]), H2a,
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-            precision=_site_precision("fc3"),
+            precision=prec("fc3"),
         ) + bf3
         # categorical NLL via per-class selection matmuls (class-major)
         rows = jax.lax.broadcasted_iota(jnp.int32, (S, nc * S), 0)
@@ -603,7 +621,7 @@ def _make_body(cfg: LeNetCfg, backend: str):
         pseudo = jax.lax.dot_general(
             nllm, cw, dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-            precision=_site_precision("pseudo"),
+            precision=prec("pseudo"),
         )  # (S, 1)
         return jnp.sum(pseudo) + kl_dense(p)
 
@@ -673,7 +691,10 @@ def _make_eps_fns(cfg: LeNetCfg, backend: str):
     if cfg.eps_mode == "prng" and backend == "pallas":
 
         def draw(t, hi, lo, stacks):
-            pltpu.prng_seed(hi, lo, t)
+            # libtpu caps prng_set_seed_32 at TWO values: fold the 16-bit
+            # key halves into one i32 (wrapping is fine — determinism per
+            # (key, t) is all that's needed) and keep t as the second
+            pltpu.prng_seed(hi * 65536 + lo, t)
 
             def unif(shape):
                 bits = pltpu.bitcast(
@@ -1014,3 +1035,189 @@ def make_fused_unroll(cfg: LeNetCfg, backend: str = "pallas"):
 
     fn.defvjp(fwd, bwd)
     return jax.jit(fn)
+
+
+# ---------------------------------------------------------------------
+# engine integration (dispatch mirror of ops/fused_nested.py)
+# ---------------------------------------------------------------------
+
+# Size guards: kernel B's VMEM scratch is 3 stacked (T·rows, cols) state
+# buffers per parameter tensor; the twice-differentiated body also keeps
+# a few lane-wide activations live. Bound both well inside the ~128 MB
+# v5e VMEM (the flagship T=20, S=10, M=100 sits at ~31 MB scratch).
+_MAX_SCRATCH_BYTES = 72 * 1024 * 1024
+_MAX_LANES = 40960  # M·P1² (M ≤ 208 at H=28)
+
+
+def _scratch_bytes(cfg: LeNetCfg) -> int:
+    return sum(
+        3 * 4 * cfg.T * r * c for (r, c) in cfg.param_shapes()
+    )
+
+
+def _lenet_geometry(engine):
+    """(conv1, conv2, dense-list) when the net is a LeNet-family trunk the
+    kernel can represent, else None: two 5×5 convs (1-channel 'same' head,
+    unpadded second) each 2×2-max-pooled (fused VIConvPool2d or literal
+    MaxPool2d), Flatten, three biased VILinear layers, ReLU/Identity glue.
+    Reference net: ``make_lenet`` (psvi/models/neural_net.py:334-359)."""
+    from psvi_tpu.models.layers import (
+        Flatten, Identity, MaxPool2d, ReLU, Sequential, VIConv2d,
+        VIConvPool2d, VILinear,
+    )
+
+    net = engine.net
+    if not isinstance(net, Sequential):
+        return None
+    L = list(net.layers)
+    allowed = (VIConv2d, MaxPool2d, Identity, ReLU, Flatten, VILinear)
+    if not all(isinstance(l, allowed) for l in L):
+        return None
+    convs = [l for l in L if isinstance(l, VIConv2d)]
+    dense = [l for l in L if type(l) is VILinear]
+    if len(convs) != 2 or len(dense) != 3:
+        return None
+    for c in convs:
+        i = L.index(c)
+        if isinstance(c, VIConvPool2d):
+            if c.pool_k != 2:
+                return None
+        else:
+            nxt = L[i + 1] if i + 1 < len(L) else None
+            if not (
+                isinstance(nxt, MaxPool2d)
+                and nxt.kernel_size == 2 and nxt.stride == 2
+                and nxt.padding == 0
+            ):
+                return None
+    c1, c2 = convs
+    if not (
+        c1.in_channels == 1 and c1.kernel_size == 5
+        and c1.padding == 2 and c1.stride == 1
+    ):
+        return None
+    if not (
+        c2.in_channels == c1.out_channels and c2.kernel_size == 5
+        and c2.padding == 0 and c2.stride == 1
+    ):
+        return None
+    # kernel KL semantics: dense-only (ref psvi_classes.py:506-510) with
+    # ONE prior_sd; biases required everywhere (the sampled-θ layout
+    # assumes them)
+    if any(c.count_kl or not c.use_bias for c in convs):
+        return None
+    if not all(
+        l.count_kl and l.use_bias and l.prior_sd == dense[0].prior_sd
+        for l in dense
+    ):
+        return None
+    # geometry: H from the engine's input dim; dense widths must chain
+    # from the conv trunk (fc input = K2·P2²)
+    H2 = int(round(math.sqrt(engine.D / c1.in_channels)))
+    if H2 * H2 * c1.in_channels != engine.D or H2 % 4 != 0:
+        return None
+    P1 = H2 // 2
+    conv2_out = P1 - c2.kernel_size + 1
+    if conv2_out <= 0 or conv2_out % 2:
+        return None
+    P2 = conv2_out // 2
+    widths = (
+        c2.out_channels * P2 * P2, dense[0].out_dim, dense[1].out_dim,
+        dense[2].out_dim,
+    )
+    if dense[0].in_dim != widths[0] or dense[1].in_dim != widths[1] \
+            or dense[2].in_dim != widths[2]:
+        return None
+    return c1, c2, dense, H2, widths
+
+
+def supports(engine) -> bool:
+    """True when the engine's nested step can run with the fused LeNet
+    inner unroll: LeNet-family conv trunk (see :func:`_lenet_geometry`),
+    categorical hard labels (learn_z soft labels would need a d/ypse
+    cotangent the kernel does not emit — round-4 advisor finding), plain
+    nested trainer, inner Adam, sizes inside the VMEM budget."""
+    geo = _lenet_geometry(engine)
+    if geo is None:
+        return False
+    if getattr(engine, "_in_trial_vmap", False):
+        return False  # vmapped pallas_call — same gate as fused_nested
+    cfg = cfg_from_engine(engine)
+    if _scratch_bytes(cfg) > _MAX_SCRATCH_BYTES:
+        return False
+    if cfg.lanes > _MAX_LANES:
+        return False
+    return (
+        engine.trainer == "nested"
+        and not engine.truncated
+        and engine.inner_optimizer == "adam"
+        and engine.likelihood == "categorical"
+        and not engine.spec.learn_z
+        and not engine.spec.ablated
+        and not engine.spec.evaluate_only
+        and engine.mc_samples >= 2
+        and engine.inner_it >= 1
+        and not engine.shard_mc
+        and engine.batch_shardings is None
+        and engine.num_pseudo > 0
+    )
+
+
+def cfg_from_engine(engine) -> LeNetCfg:
+    """Build the static kernel config from a supported engine. Resolves
+    the PSVI_TPU_FL_EXACT per-site-precision override HERE, once, so it
+    is part of the lru-cache key (never re-read at trace time)."""
+    import os
+
+    geo = _lenet_geometry(engine)
+    assert geo is not None, "call supports() first"
+    c1, c2, dense, H, widths = geo
+    env = os.environ.get("PSVI_TPU_FL_EXACT")
+    return LeNetCfg(
+        T=engine.inner_it, S=engine.mc_samples, M=engine.num_pseudo,
+        nc=engine.nc, N=float(engine.N),
+        parameterised=bool(engine.spec.parameterised),
+        use_alpha=bool(engine.spec.learn_alpha or engine.spec.alpha_fixed),
+        prior_sd=float(dense[0].prior_sd),
+        K1=c1.out_channels, K2=c2.out_channels, k=c1.kernel_size, H=H,
+        fc=widths,
+        eps_mode="prng" if engine.fused_eps == "batched" else "input",
+        exact_sites=env if env is not None else "default",
+    )
+
+
+def eps_stacks_from_tree(eps_ts, didx, cfg: LeNetCfg):
+    """Engine per-iteration noise (leading T axis; ``jax.vmap`` of
+    ``net.sample_eps`` over the inner keys) → the 10 stacked
+    ``(T·rows, cols)`` kernel-layout tensors for ``eps_mode='input'``.
+    Pure reshapes/transposes of the SAME draws, so the fused unroll is
+    bit-compatible in distribution with the plain ``_run_inner`` stream
+    (identical values, kernel layout)."""
+    S, K1, K2, q, f, nc = cfg.S, cfg.K1, cfg.K2, cfg.q, cfg.fc, cfg.nc
+    c1, c2, f1, f2, f3 = (eps_ts[i] for i in didx)
+    T = c1["b"].shape[0]
+    p2 = cfg.P2 * cfg.P2
+    return (
+        c1["w"].reshape(T * S * K1, q),
+        c1["b"].reshape(T * S * K1, 1),
+        jnp.transpose(
+            c2["w"].reshape(T, S, K2, K1, q), (0, 1, 2, 4, 3)
+        ).reshape(T * S * K2, q * K1),
+        c2["b"].reshape(T * S * K2, 1),
+        jnp.transpose(
+            f1["w"].reshape(T, S, f[1], K2, p2), (0, 1, 2, 4, 3)
+        ).reshape(T * S * f[1], f[0]),
+        f1["b"].reshape(T * S * f[1], 1),
+        f2["w"].reshape(T * S * f[2], f[1]),
+        f2["b"].reshape(T * S * f[2], 1),
+        jnp.transpose(f3["w"], (0, 2, 1, 3)).reshape(T * nc * S, f[2]),
+        jnp.transpose(f3["b"], (0, 2, 1)).reshape(T * nc * S, 1),
+    )
+
+
+def seed_halves(key):
+    """PRNG seed input for ``eps_mode='prng'``: two 16-bit halves of the
+    inner key as a (1, 2) f32 — float-typed so the custom_vjp cotangent
+    stays a plain zero float (no int-cotangent special case)."""
+    bits = jax.random.randint(key, (1, 2), 0, 1 << 16)
+    return bits.astype(jnp.float32)

@@ -73,9 +73,14 @@ class TrialParallelPSVI:
 
         # the per-trial step runs under jax.vmap below — exclude the fused
         # Pallas nested step (vmapped pallas_call is an untested Mosaic
-        # path; fused_nested.supports() checks this flag)
+        # path; fused_nested.supports() checks this flag). The flag is set
+        # only around step-fn resolution so the shared base engine keeps
+        # its fused path when used directly afterwards.
         self.base._in_trial_vmap = True
-        step_fn = self.base._trainer_fn()
+        try:
+            step_fn = self.base._trainer_fn()
+        finally:
+            self.base._in_trial_vmap = False
         eval_fn = lambda s, k: self.base._evaluate_fn(s, k, True)
         self._vstep = jax.jit(jax.vmap(step_fn), donate_argnums=(0,))
         self._veval = jax.jit(jax.vmap(eval_fn))

@@ -100,6 +100,14 @@ class ExperimentConfig:
     backend: str = "xla"  # dense-layer compute backend: xla | pallas
     mesh_trial_axis: int = 1  # number of mesh devices for the trial axis
     mesh_data_axis: int = 1  # number of mesh devices for the data-batch axis
+    compute_dtype: str = "float32"  # 'bfloat16' = TPU mixed precision
+    # fused bilevel kernels (None = auto on TPU; True force; False off)
+    fused_inner: Optional[bool] = None
+    # fold (conv, 2x2-maxpool) pairs into the parity-split pooled conv
+    # (models/layers.VIConvPool2d); False = literal conv→pool formulation
+    fuse_convpool: bool = True
+    pool_backend: str = "reshape"  # 'argmax' = int8-argmax pool residuals
+    inner_unroll: int = 2  # lax.scan unroll of the inner loop (identical math)
 
     def method_kwargs(self, **overrides):
         d = dataclasses.asdict(self)

@@ -85,9 +85,9 @@ def study_is_vs_dim(full):
             rows.append(
                 {
                     "trial": t,
-                    "final_acc": r[0]["accs"][-1],
-                    "final_ness": r[0]["ness"][-1] if r[0]["ness"] else None,
-                    "final_went": r[0]["went"][-1] if r[0]["went"] else None,
+                    "final_acc": r["accs"][-1],
+                    "final_ness": r["ness"][-1] if r["ness"] else None,
+                    "final_went": r["went"][-1] if r["went"] else None,
                 }
             )
         out[dnm] = rows
@@ -173,7 +173,7 @@ def study_mcmc(full):
     us = np.asarray(r["us"][-1])
     zs = np.asarray(r["zs"][-1]).astype(int)
     vs = np.asarray(r["vs"][-1])
-    alpha = float(np.asarray(r.get("alpha", [0.0]))[-1])
+    alpha = float(np.asarray(r.get("alpha", [0.0])).ravel()[-1])
     N = data.N
     w = N * np.exp(alpha) * (np.exp(vs - vs.max()) / np.exp(vs - vs.max()).sum())
 
@@ -211,13 +211,13 @@ def study_mcmc(full):
         num_samples=n_samp, num_warmup=n_samp, max_depth=8,
     )
     # MCMC predictive: average softmax over posterior draws
-    xt = jnp.asarray(data.x_test)
+    xt = jnp.asarray(data.xt)
     probs = jax.vmap(
         lambda th: jax.nn.softmax(forward(th, xt), axis=-1)
     )(samples[:: max(1, n_samp // 100)])
     pred = jnp.mean(probs, axis=0)
     acc_mcmc = float(
-        jnp.mean((jnp.argmax(pred, 1) == jnp.asarray(data.y_test)).astype(
+        jnp.mean((jnp.argmax(pred, 1) == jnp.asarray(data.yt)).astype(
             jnp.float32
         ))
     )

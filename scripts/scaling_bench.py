@@ -80,7 +80,10 @@ def bench_data_parallel(data, n_dev, steps=20, B=512):
 def bench_mfvi_dp(n_dev, steps=10, B=512, S=8, hidden=512):
     """MFVI full-data flow (no inner loop — the data term IS the step)
     with the minibatch sharded over 'data'. The config where batch-DP is
-    projected to win (SCALING.md round-1 note)."""
+    projected to win (SCALING.md round-1 note). Mean-field 'fn' net: the
+    full-cov 'fn2' at 512 hidden builds a ~(52k)^2 scale_tril per layer
+    (~100 GB resident) — unrunnable anywhere, which is why the mfvi rows
+    were missing from SCALING.md until round 5."""
     import jax.numpy as jnp
     from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -88,7 +91,8 @@ def bench_mfvi_dp(n_dev, steps=10, B=512, S=8, hidden=512):
 
     data = read_dataset("synth_lr_100")
     mesh = make_mesh(data=n_dev)
-    m = _MFVI(data, "fn2", hidden, 2, S, 1e-3, 1e-3, B, 0, 1)
+    m = _MFVI(data, "fn", hidden, 2, S, 1e-3, 1e-3, B, 0,
+              n_layers=2)
     x, y = jnp.asarray(data.x), jnp.asarray(data.y)
     n_train = data.N
     sx = NamedSharding(mesh, P("data", None))
@@ -186,7 +190,8 @@ def main():
         "## Batch-DP on the MFVI full-data flow (where it wins)",
         "",
         "`run_mfvi`-family steps have NO inner loop — the sharded data-NLL",
-        "term IS the whole step (fn2 100→512→512→2, S=8, B=512, chained",
+        "term IS the whole step (mean-field fn 100→512→512→2, S=8, B=512,",
+        "chained",
         "10-step scan; `run_mfvi(mesh=…, shard_batch=True)`):",
         "",
         "| data-axis devices | steps/s |",

@@ -288,7 +288,8 @@ def test_supports_gating():
     # supported config resolves to the fused step only on TPU under 'auto'
     eng = PSVI(data, method="psvi_learn_v", fused_inner="auto", **ENGINE_KW)
     assert supports(eng)
-    assert eng._use_fused_inner() == (jax.default_backend() == "tpu")
+    expect = "dense" if jax.default_backend() == "tpu" else None
+    assert eng._use_fused_inner() == expect
 
 
 def test_fused_force_raises_for_non_nested_trainer():

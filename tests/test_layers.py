@@ -469,3 +469,32 @@ def test_prep_input_prepatched_equivalence():
     mlp = make_fcnet(4, 8, 2)
     z = jnp.ones((3, 4))
     assert mlp.prep_input(z) is z
+
+
+def test_convpool_fallback_nontiling_floor_semantics():
+    """A pooled conv whose output doesn't tile by pool_k (e.g. 27x27 input
+    -> 23x23 conv output with pool_k=2) must pool with FLOOR semantics
+    (crop trailing row/col), matching the unfused conv + reduce_window
+    MaxPool2d path — not crash in the reshape (round-4 advisor finding)."""
+    from psvi_tpu.models.layers import (
+        MaxPool2d, Sequential, VIConv2d, VIConvPool2d, fuse_conv_pool,
+    )
+
+    conv = VIConv2d(1, 4, kernel_size=5, init_sd=1e-2)
+    fused = Sequential((VIConvPool2d(
+        **{f.name: getattr(conv, f.name)
+           for f in __import__("dataclasses").fields(conv)}, pool_k=2),))
+    unfused = Sequential((conv, MaxPool2d(2, 2)))  # falls to reduce_window
+
+    params = unfused.init(jax.random.PRNGKey(0))
+    eps = unfused.sample_eps(jax.random.PRNGKey(1), 3)
+    x = jax.random.normal(jax.random.PRNGKey(2), (2, 1, 27, 27))
+    y_ref = unfused.apply(params, eps, x)
+    y_fused = fused.apply((params[0],), (eps[0],), x)
+    assert y_fused.shape[-2:] == (11, 11) and y_ref.shape[-2:] == (11, 11)
+    np.testing.assert_allclose(y_ref, y_fused, atol=2e-6)
+    # fuse_conv_pool round-trip on the non-tiling net also works end-to-end
+    fnet = fuse_conv_pool(Sequential((conv, MaxPool2d(2, 2))))
+    y2 = fnet.apply(unfused.init(jax.random.PRNGKey(0)),
+                    unfused.sample_eps(jax.random.PRNGKey(1), 3), x)
+    np.testing.assert_allclose(y_ref, y2, atol=2e-6)
