@@ -43,6 +43,13 @@ def bench_jax():
         # f32 parameters/loss math. Convergence parity with f32 validated
         # (tests/test_mixed_precision.py; PARITY.md) — +17% step throughput.
         compute_dtype="bfloat16",
+        # full inner unroll: the measured steady-state throughput ceiling
+        # (21.4 vs 26.9 ms/step on v5e; numerics identical, tested). The
+        # metric here is steady-state evals/s (compile excluded since
+        # round 1); the engine DEFAULT stays scan-2 because full unroll
+        # breaks even only past ~7k outer steps (BENCHMARKS.md round-5
+        # section) — reachable via --inner_unroll.
+        inner_unroll=INNER_IT,
     )
     # the PSVI N rescaling uses the real MNIST N for comparability
     eng.N = N_TRAIN

@@ -256,9 +256,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--profile_dir", type=str, default=None,
                    help="write a jax.profiler XLA trace of each PSVI run "
                         "here (tensorboard-compatible)")
-    p.add_argument("--inner_unroll", type=int, default=2,
+    p.add_argument("--inner_unroll", type=int, default=None,
                    help="lax.scan unroll factor for the inner loop "
-                        "(numerics-identical; 2 is fastest measured)")
+                        "(numerics-identical). Default 2. Full unroll "
+                        "(>= inner_it) is the measured steady-state "
+                        "throughput ceiling (+26%% on the v5e flagship) "
+                        "but pays ~40-100 s extra per-process compile/"
+                        "trace — opt in for long sessions")
     p.add_argument("--fuse_convpool", action=argparse.BooleanOptionalAction,
                    default=True,
                    help="fold (conv, 2x2-maxpool) pairs into the "

@@ -130,11 +130,18 @@ class PSVI:
         truncated: bool = False,
         truncated_K: int = 5,
         remat_inner: bool = False,
-        # lax.scan unroll for the inner loop. 2 is a measured ~6% step win
-        # on the flagship LeNet config (TPU v5e: 683 -> 724 evals/s) —
-        # cross-iteration scheduling outweighs the larger program; 4+
-        # regresses. Numerically identical for any value (tested).
-        inner_unroll: int = 2,
+        # lax.scan unroll for the inner loop; numerically identical for
+        # any value (tested). None (default) = 2, the amortization-aware
+        # choice. FULL unroll (inner_unroll >= T, e.g. 20 on the
+        # flagship) is the measured steady-state ceiling — 21.4 ms/step
+        # vs scan-2's 26.9 on the v5e flagship (983 vs 780 evals/s; the
+        # while loop and its stacking disappear and XLA schedules across
+        # all 20 iterations; partial unrolls are WORSE than either end:
+        # 4 -> 33 ms, 10 -> 37 ms) — but costs ~100 s extra cold compile
+        # and ~40 s extra warm per-process tracing/cache-load, breaking
+        # even only past ~7,000 outer steps; production runs are ~101.
+        # Opt in for long-running/serving sessions (bench.py does).
+        inner_unroll: Optional[int] = None,
         compute_dtype: str = "float32",
         pool_backend: str = "reshape",  # 'argmax' = int8-argmax residuals
         # fold (conv, 2x2-maxpool) pairs into the parity-split pooled-conv
@@ -252,7 +259,9 @@ class PSVI:
         self.inner_optimizer = inner_optimizer.lower()
         self.truncated, self.truncated_K = truncated, truncated_K
         self.remat_inner = remat_inner
-        self.inner_unroll = max(int(inner_unroll), 1)
+        self.inner_unroll = (
+            None if inner_unroll is None else max(int(inner_unroll), 1)
+        )
         self.compute_dtype = compute_dtype
         self.pool_backend = pool_backend
         self.fuse_convpool = fuse_convpool
@@ -640,10 +649,18 @@ class PSVI:
         opt = opt or self.inner_opt
         opt_state = opt_state if opt_state is not None else opt.init(params0)
         keys = jax.random.split(key, max(T, 1))
+        # Pre-draw ALL T iterations' reparameterization noise OUTSIDE the
+        # scan (vmap over the same per-iteration keys — bit-identical
+        # values to drawing inside the body) and feed it as scan xs: the
+        # ~10 threefry chains per iteration leave the unrolled bilevel
+        # body, replaced by the scan's native slicing. On the
+        # per-op-latency-bound flagship step this is a pure op-count win.
+        eps_stack = jax.vmap(
+            lambda k: self._sample_eps(k, self.mc_samples)
+        )(keys[:T])
 
-        def body(carry, k):
+        def body(carry, eps):
             params, ostate = carry
-            eps = self._sample_eps(k, self.mc_samples)
             loss, g = jax.value_and_grad(self._inner_loss)(
                 params, eps, u, z, v, alpha
             )
@@ -652,9 +669,12 @@ class PSVI:
 
         if self.remat_inner:
             body = jax.checkpoint(body)
+        if self.inner_unroll is None:
+            unroll = min(2, max(T, 1))  # auto = 2 (see __init__)
+        else:
+            unroll = min(self.inner_unroll, max(T, 1))
         (paramsT, ostateT), inner_losses = jax.lax.scan(
-            body, (params0, opt_state), keys[:T],
-            unroll=min(self.inner_unroll, max(T, 1)),
+            body, (params0, opt_state), eps_stack, unroll=unroll,
         )
         return paramsT, ostateT, inner_losses
 
@@ -821,7 +841,14 @@ class PSVI:
                 )
             return which
         # 'auto': only where it wins — the Mosaic kernels exist to beat
-        # per-op dispatch latency on a real TPU
+        # per-op dispatch latency on a real TPU. The conv-family kernel is
+        # NEVER auto-selected: its Mosaic compile is measured-tractable
+        # only for small mc_samples (S=3: ~4 min; S=10: ~68 min then a
+        # VMEM OOM from 143 MB of register-allocator spill slots —
+        # BENCHMARKS.md "conv-family fused kernel"), so it is explicit
+        # opt-in via fused_inner=True.
+        if which == "lenet":
+            return None
         return which if jax.default_backend() == "tpu" else None
 
     def _fused_dense_idx(self):

@@ -1142,6 +1142,14 @@ def supports(engine) -> bool:
         return False
     if getattr(engine, "_in_trial_vmap", False):
         return False  # vmapped pallas_call — same gate as fused_nested
+    # Mosaic compile envelope (measured, round 5): register-spill pressure
+    # grows ~S^2 through the block-diagonal sample operators. S=3 compiles
+    # in ~4 min and runs; S=10 runs the register allocator for ~68 min and
+    # then OOMs VMEM on 143 MB of spill slots alone (BENCHMARKS.md
+    # "conv-family fused kernel"). Gate compiled-TPU use at S<=4; the XLA
+    # fallback (CPU oracle/tests) has no such limit.
+    if jax.default_backend() == "tpu" and engine.mc_samples > 4:
+        return False
     cfg = cfg_from_engine(engine)
     if _scratch_bytes(cfg) > _MAX_SCRATCH_BYTES:
         return False

@@ -208,9 +208,18 @@ def main():
         "BASELINE.md by construction; the CPU-mesh numbers below share 2 host",
         "cores across all virtual devices and therefore UNDERSTATE it.",
     ]
-    with open("/root/repo/SCALING.md", "w") as f:
-        f.write("\n".join(lines))
-    print("wrote SCALING.md")
+    import sys
+
+    if "--write" in sys.argv:
+        with open("/root/repo/SCALING.md", "w") as f:
+            f.write("\n".join(lines))
+        print("wrote SCALING.md")
+    else:
+        # SCALING.md is curated (host-bound analysis + round-over-round
+        # deltas on top of these raw tables); print the regenerated tables
+        # and let a human fold them in, or pass --write to overwrite.
+        print("\n".join(lines))
+        print("\n(not written — pass --write to overwrite SCALING.md)")
 
 
 if __name__ == "__main__":

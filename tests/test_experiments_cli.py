@@ -119,6 +119,6 @@ def test_cli_perf_knobs_roundtrip():
     eng_am = PSVI(data, pool_backend="argmax", **kw)
     pools = [l for l in eng_am.net.layers if isinstance(l, MaxPool2d)]
     assert pools and all(p.backend == "argmax" for p in pools)
-    assert eng_am.inner_unroll == 2 and PSVI(
+    assert eng_am.inner_unroll is None and PSVI(  # None = auto
         data, inner_unroll=4, **kw
     ).inner_unroll == 4
