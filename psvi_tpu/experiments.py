@@ -258,7 +258,7 @@ def build_parser() -> argparse.ArgumentParser:
                         "here (tensorboard-compatible)")
     p.add_argument("--inner_unroll", type=int, default=None,
                    help="lax.scan unroll factor for the inner loop "
-                        "(numerics-identical). Default 2. Full unroll "
+                        "(numerics-identical). Default 1 (rolled). Full unroll "
                         "(>= inner_it) is the measured steady-state "
                         "throughput ceiling (+26%% on the v5e flagship) "
                         "but pays ~40-100 s extra per-process compile/"

@@ -131,16 +131,20 @@ class PSVI:
         truncated_K: int = 5,
         remat_inner: bool = False,
         # lax.scan unroll for the inner loop; numerically identical for
-        # any value (tested). None (default) = 2, the amortization-aware
-        # choice. FULL unroll (inner_unroll >= T, e.g. 20 on the
+        # any value (tested). None (default) = 1, the amortization-aware
+        # choice: with the round-5 hoisted eps stacks, unroll=2's old ~6%
+        # win vanished (measured v5e flagship: unroll=1 26.8 ms/step vs
+        # unroll=2 26.9 — a tie), and the rolled body halves tracing time
+        # and compile-cache artifact size, which land in trial 0's
+        # wall-clock. FULL unroll (inner_unroll >= T, e.g. 20 on the
         # flagship) is the measured steady-state ceiling — 21.4 ms/step
-        # vs scan-2's 26.9 on the v5e flagship (983 vs 780 evals/s; the
-        # while loop and its stacking disappear and XLA schedules across
-        # all 20 iterations; partial unrolls are WORSE than either end:
-        # 4 -> 33 ms, 10 -> 37 ms) — but costs ~100 s extra cold compile
-        # and ~40 s extra warm per-process tracing/cache-load, breaking
-        # even only past ~7,000 outer steps; production runs are ~101.
-        # Opt in for long-running/serving sessions (bench.py does).
+        # (983 vs 780 evals/s; the while loop and its stacking disappear
+        # and XLA schedules across all 20 iterations; partial unrolls are
+        # WORSE than either end: 4 -> 33 ms, 10 -> 37 ms) — but costs
+        # ~100 s extra cold compile and ~40 s extra warm per-process
+        # tracing/cache-load, breaking even only past ~7,000 outer
+        # steps; production runs are ~101. Opt in for long-running /
+        # serving sessions (bench.py does).
         inner_unroll: Optional[int] = None,
         compute_dtype: str = "float32",
         pool_backend: str = "reshape",  # 'argmax' = int8-argmax residuals
@@ -670,7 +674,7 @@ class PSVI:
         if self.remat_inner:
             body = jax.checkpoint(body)
         if self.inner_unroll is None:
-            unroll = min(2, max(T, 1))  # auto = 2 (see __init__)
+            unroll = 1  # auto (see __init__)
         else:
             unroll = min(self.inner_unroll, max(T, 1))
         (paramsT, ostateT), inner_losses = jax.lax.scan(
@@ -1126,10 +1130,12 @@ class PSVI:
         lr_now = jnp.float32(self.lrs["net"])
         hyper = self._hyper_tree(state)
 
-        # inner solve, not differentiated (ref inner_loop :622-654)
+        # inner solve, not differentiated (ref inner_loop :622-654);
+        # prep_input hoists the first-layer patch extraction of the
+        # loop-invariant u out of the T iterations (as the nested path)
         paramsT, _, inner_losses = self._run_inner(
-            state.params, state.u, state.z, state.v, state.alpha,
-            k_inner, lr_now,
+            state.params, self.net.prep_input(state.u), state.z, state.v,
+            state.alpha, k_inner, lr_now,
         )
 
         def unpack(h):

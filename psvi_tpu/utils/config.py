@@ -107,7 +107,7 @@ class ExperimentConfig:
     # (models/layers.VIConvPool2d); False = literal conv→pool formulation
     fuse_convpool: bool = True
     pool_backend: str = "reshape"  # 'argmax' = int8-argmax pool residuals
-    # lax.scan unroll of the inner loop (identical math); None = 2.
+    # lax.scan unroll of the inner loop (identical math); None = 1.
     # Full unroll (>= inner_it) = steady-state ceiling, slow startup
     inner_unroll: Optional[int] = None
 
