@@ -1142,15 +1142,20 @@ def supports(engine) -> bool:
         return False
     if getattr(engine, "_in_trial_vmap", False):
         return False  # vmapped pallas_call — same gate as fused_nested
-    # Mosaic compile envelope (measured, round 5): register-spill pressure
-    # grows ~S^2 through the block-diagonal sample operators. S=3 compiles
-    # in ~4 min and runs; S=10 runs the register allocator for ~68 min and
-    # then OOMs VMEM on 143 MB of spill slots alone (BENCHMARKS.md
-    # "conv-family fused kernel"). Gate compiled-TPU use at S<=4; the XLA
-    # fallback (CPU oracle/tests) has no such limit.
-    if jax.default_backend() == "tpu" and engine.mc_samples > 4:
-        return False
     cfg = cfg_from_engine(engine)
+    # Mosaic compile envelope (measured, round 5): register-spill
+    # pressure grows ~S^2 through the block-diagonal sample operators
+    # and with the activation lane count M·P1². Measured: S=3/M=16
+    # (3136 lanes) compiles in ~4 min and matches the oracle on TPU;
+    # S=10/M=16 runs the register allocator ~68 min then OOMs VMEM on
+    # 143 MB of spill slots alone; S=4/M=100 (19600 lanes) was still
+    # compiling past 30 min (BENCHMARKS.md "conv-family fused kernel").
+    # Gate compiled-TPU use to the measured-tractable region S<=4 AND
+    # lanes<=4096; the XLA fallback (CPU oracle/tests) has no limit.
+    if jax.default_backend() == "tpu" and (
+        cfg.S > 4 or cfg.lanes > 4096
+    ):
+        return False
     if _scratch_bytes(cfg) > _MAX_SCRATCH_BYTES:
         return False
     if cfg.lanes > _MAX_LANES:
