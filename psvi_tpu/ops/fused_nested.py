@@ -69,6 +69,7 @@ try:  # pallas is TPU/Mosaic-only; fall back cleanly elsewhere
 except Exception:  # pragma: no cover
     _PALLAS_OK = False
 
+_EXACT = jax.lax.Precision.HIGHEST
 _HALF_LOG_2PI = 0.5 * math.log(2.0 * math.pi)
 
 
@@ -161,6 +162,7 @@ def _nested_core(params0, u, v, alpha, ypse, ybat, eps_wi, eps_bi,
             mask_bool.astype(jnp.float32), x,
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
+                precision=_EXACT,
         )
 
     def rep_sample_major(x):
@@ -213,6 +215,7 @@ def _nested_core(params0, u, v, alpha, ypse, ybat, eps_wi, eps_bi,
             Wt = jax.lax.dot_general(
                 W, tile, dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
+                precision=_EXACT,
             )
         else:
             Wt = W
@@ -239,6 +242,7 @@ def _nested_core(params0, u, v, alpha, ypse, ybat, eps_wi, eps_bi,
         A = jax.lax.dot_general(
             Ws[0], X, dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
+                precision=_EXACT,
         ) + bs[0]  # (R_0, P)
         for lyr in range(1, L):
             A = jnp.maximum(A, 0.0)
@@ -246,6 +250,7 @@ def _nested_core(params0, u, v, alpha, ypse, ybat, eps_wi, eps_bi,
                 blockdiag(Ws[lyr], lyr), A,
                 dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
+                precision=_EXACT,
             ) + bs[lyr]
         Z = A  # (nc·S, P) class-major
         if cfg.likelihood == "gaussian":
@@ -333,6 +338,7 @@ def _nested_core(params0, u, v, alpha, ypse, ybat, eps_wi, eps_bi,
             pseudo = jax.lax.dot_general(
                 nllu, cw, dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
+                precision=_EXACT,
             )  # (S, 1)
             return jnp.sum(pseudo) + kl_term(p)
 
@@ -381,6 +387,7 @@ def _nested_core(params0, u, v, alpha, ypse, ybat, eps_wi, eps_bi,
         pseudo = jax.lax.dot_general(
             nllu, cw, dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
+                precision=_EXACT,
         )  # (S, 1)
         data = (cfg.N / B) * jnp.sum(nllb, axis=1, keepdims=True)  # (S, 1)
         nkl = sampled_nkl(p, Wo, bo)  # (S, 1)

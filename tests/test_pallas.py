@@ -164,6 +164,11 @@ def test_fused_nested_kernel_matches_xla(arch):
     args, cfg, _, _ = _fused_args(eng, jax.random.PRNGKey(5))
     out_x = fused_nested_outer(*args, cfg, backend="xla")
     out_p = fused_nested_outer(*args, cfg, backend="pallas")
+    # Every dot in _nested_core runs precision=HIGHEST (round-5 fix:
+    # under the 2026-08 libtpu the former default-precision dots ran ONE
+    # bf16 MXU pass and the second-order u-hypergradient collapsed to
+    # cos 0.29 vs the oracle), so both backends execute the same exact
+    # f32 math and agree to float-reassociation noise.
     assert np.isclose(float(out_x[0]), float(out_p[0]), rtol=1e-5)
     np.testing.assert_allclose(
         np.asarray(out_x[1]), np.asarray(out_p[1]), rtol=1e-5
